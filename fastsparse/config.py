@@ -1,0 +1,54 @@
+"""Global configuration for fastsparse.
+
+The reference C library's only knobs were compile-time constants and
+``OMP_NUM_THREADS`` (SURVEY.md §5.6). The TPU-native equivalents — tile
+shapes, bucket edges, dtypes, mesh axis names — live in one small frozen
+dataclass passed explicitly (or defaulted) rather than a flag framework.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def sublanes_for(dtype) -> int:
+    """Minimum sublane count (second-to-last dim tile) for a dtype on TPU."""
+    dtype = jnp.dtype(dtype)
+    if dtype.itemsize >= 4:
+        return 8
+    if dtype.itemsize == 2:
+        return 16
+    return 32
+
+
+LANES = 128  # TPU lane width: last-dim tiling unit for every dtype.
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Tuning knobs for format compilation and kernels.
+
+    Attributes:
+      tile_m: rows per row-strip in tiled formats. Defaults to the fp32
+        sublane count (8); use 16 for bf16 tile values.
+      tile_k: columns per column-slab. Always a multiple of the 128-lane
+        width so slabs map directly onto VPU/MXU tiles.
+      ell_bucket_widths: allowed padded nnz-per-row widths for the bucketed
+        ELL format (ascending). Rows land in the smallest bucket that fits;
+        rows longer than the last width spill into an overflow COO tail.
+      bsr_bucket_tiles: allowed tiles-per-strip counts for tiled BSR buckets.
+      rhs_panel: default number of RHS columns processed per SpMM panel.
+      mesh_axis: name of the 1-D device-mesh axis used for row partitioning.
+    """
+
+    tile_m: int = 8
+    tile_k: int = LANES
+    ell_bucket_widths: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+    bsr_bucket_tiles: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+    rhs_panel: int = 128
+    mesh_axis: str = "rows"
+
+
+DEFAULT = Config()

@@ -1,0 +1,89 @@
+"""Device-side format conversions.
+
+The reference converts COO→CSR with a host-side counting sort
+(``bcsr_from_sbm``, SURVEY.md §3.1). Here every conversion is jittable
+device code (BASELINE.json:5): a stable on-device key sort orders entries,
+a masked bincount + cumsum builds ``row_ptr``. Blocked / tiled execution
+formats are built by their own compilers (`formats.ell`, `formats.bsr`) on
+top of these primitives.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..reorder.sort import sort_coo
+from .coo import COO, BinaryCOO
+from .csr import CSR, BinaryCSR
+
+__all__ = ["to_csr", "to_coo", "transpose_coo", "row_counts"]
+
+
+def row_counts(rows: jax.Array, valid: jax.Array, nrow: int) -> jax.Array:
+    """int32[nrow]: nonzeros per row, ignoring padding entries."""
+    ones = valid.astype(jnp.int32)
+    return jnp.zeros((nrow,), jnp.int32).at[rows].add(ones)
+
+
+@jax.jit
+def to_csr(coo):
+    """COO → CSR (valued or binary), fully on device.
+
+    Entries are sorted row-major (padding to the tail), ``row_ptr`` is a
+    masked histogram + exclusive scan — the counting sort of the reference's
+    ``bcsr_from_sbm`` re-expressed as vector ops.
+    """
+    nrow, _ = coo.shape
+    s = sort_coo(coo, "row")
+    counts = row_counts(s.rows, s.valid_mask(), nrow)
+    row_ptr = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    # Padding entries must not alias row 0: rewrite their cached row id to 0
+    # but they sit beyond row_ptr[nrow] == n_valid so CSR consumers skip them.
+    if isinstance(coo, BinaryCOO):
+        return BinaryCSR(
+            row_ptr=row_ptr,
+            cols=s.cols,
+            rows=s.rows,
+            shape=coo.shape,
+            n_valid=coo.n_valid,
+        )
+    return CSR(
+        row_ptr=row_ptr,
+        cols=s.cols,
+        vals=s.vals,
+        rows=s.rows,
+        shape=coo.shape,
+        n_valid=coo.n_valid,
+    )
+
+
+def to_coo(mat):
+    """Any fastsparse matrix → its COO form."""
+    if isinstance(mat, (COO, BinaryCOO)):
+        return mat
+    return mat.to_coo()
+
+
+@jax.jit
+def transpose_coo(coo):
+    """Transpose by swapping index arrays (entries re-sorted row-major)."""
+    if isinstance(coo, BinaryCOO):
+        t = BinaryCOO(
+            rows=coo.cols,
+            cols=coo.rows,
+            shape=(coo.shape[1], coo.shape[0]),
+            n_valid=coo.n_valid,
+        )
+    else:
+        t = COO(
+            rows=coo.cols,
+            cols=coo.rows,
+            vals=coo.vals,
+            shape=(coo.shape[1], coo.shape[0]),
+            n_valid=coo.n_valid,
+        )
+    return sort_coo(t, "row")

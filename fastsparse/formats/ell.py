@@ -1,0 +1,191 @@
+"""Bucketed ELL (SELL-style) execution format.
+
+This is the TPU-native answer to the reference's pointer-chasing CSR row
+loop (SURVEY.md §3.2): XLA needs static shapes, so rows are *bucketed* by
+padded length instead of pointer-chased. Rows are assigned to the smallest
+power-of-two width that fits their nonzero count; each bucket is a dense
+``(nb, K)`` index/value pair, so one jitted kernel per bucket covers the
+whole matrix and XLA compiles **once per bucket** — O(log nnz_max) programs
+total, regardless of the matrix (BASELINE.json:5 "padded/bucketed into
+fixed-shape tiles so XLA compiles once per bucket").
+
+Layout per bucket (width K):
+
+* ``row_ids  int32[nb]``  — original row of each bucket slot (padding slots
+  point at row 0 but carry zero values, so scatters are no-ops);
+* ``cols     int32[nb,K]`` — column of each entry (padding -> 0);
+* ``vals     dtype[nb,K]`` — values (padding -> 0). Binary matrices store
+  unit values here; the indices-only binary specialization is the tiled
+  BSR bitmask format's job (`formats.bsr`).
+
+Bucket *membership* is decided host-side (it fixes static shapes — this is
+a compile step), but the bulk entry scatter that fills the buckets runs as
+one on-device pass.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT, Config
+from ..utils.pytree import pytree_dataclass, static_field
+from .coo import BinaryCOO
+from .convert import to_csr
+from .csr import CSR, BinaryCSR
+
+__all__ = ["EllBucket", "EllMatrix", "build_ell"]
+
+
+def _ceil_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@pytree_dataclass
+class EllBucket:
+    row_ids: jax.Array  # int32[nb]
+    cols: jax.Array  # int32[nb, K]
+    vals: jax.Array  # dtype[nb, K]
+    width: int = static_field()  # K
+
+    @property
+    def nb(self) -> int:
+        return int(self.row_ids.shape[0])
+
+
+@pytree_dataclass
+class EllMatrix:
+    """A matrix compiled into width-bucketed ELL slabs."""
+
+    buckets: Tuple[EllBucket, ...]
+    shape: tuple = static_field()
+    nnz: int = static_field()
+    padded_nnz: int = static_field()  # sum of nb*K over buckets
+
+    @property
+    def dtype(self):
+        return self.buckets[0].vals.dtype if self.buckets else jnp.float32
+
+    @property
+    def padding_ratio(self) -> float:
+        """Padded slots / real nonzeros — the key new metric the C library
+        never needed (SURVEY.md §5.5)."""
+        return self.padded_nnz / max(self.nnz, 1)
+
+    def todense(self) -> jax.Array:
+        out = jnp.zeros(self.shape, self.dtype)
+        for b in self.buckets:
+            out = out.at[b.row_ids[:, None], b.cols].add(b.vals)
+        return out
+
+
+@jax.jit
+def _fill_flat(flat_size_arr, slot_of_entry, cols, vals, valid):
+    """One-pass device scatter of every entry into the concatenated buckets."""
+    flat_cols = jnp.zeros(flat_size_arr.shape, jnp.int32)
+    flat_vals = jnp.zeros(flat_size_arr.shape, vals.dtype)
+    slot = jnp.where(valid, slot_of_entry, flat_cols.shape[0] - 1)
+    flat_cols = flat_cols.at[slot].set(jnp.where(valid, cols, 0))
+    flat_vals = flat_vals.at[slot].set(jnp.where(valid, vals, 0))
+    return flat_cols, flat_vals
+
+
+def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
+    """Compile a COO/CSR matrix into :class:`EllMatrix`.
+
+    Reference analog: this replaces both ``bcsr_from_sbm`` (conversion) and
+    the implicit row loop of ``bcsr_A_mul_B`` (SURVEY.md §2 R5) — the
+    irregular structure is regularized at compile time instead of traversed
+    at run time.
+    """
+    if isinstance(mat, (CSR, BinaryCSR)):
+        csr = mat
+    else:
+        csr = to_csr(mat)
+    nrow, ncol = csr.shape
+    if isinstance(csr, BinaryCSR):
+        if dtype is None:
+            dtype = jnp.float32
+        vals_dev = csr.valid_mask().astype(dtype)
+    else:
+        vals_dev = csr.vals if dtype is None else csr.vals.astype(dtype)
+        dtype = vals_dev.dtype
+
+    row_ptr = np.asarray(csr.row_ptr)
+    counts = np.diff(row_ptr)
+    widths_allowed = sorted(set(config.ell_bucket_widths))
+    max_needed = int(counts.max()) if nrow else 1
+    if max_needed > widths_allowed[-1]:
+        widths_allowed.append(_ceil_pow2(max_needed))
+
+    # Host: assign each row to the smallest width that fits.
+    width_of_row = np.empty(nrow, np.int64)
+    for w in reversed(widths_allowed):
+        width_of_row[counts <= w] = w
+    width_of_row[counts == 0] = 0  # empty rows stored nowhere
+
+    sublanes = 8  # pad nb so bucket slabs are sublane-aligned
+    buckets_meta = []  # (width, rows_in_bucket, nb_padded, flat_base)
+    flat_base = 0
+    loc_of_row = np.zeros(nrow, np.int64)  # local slot within its bucket
+    base_of_row = np.zeros(nrow, np.int64)  # flat offset of its bucket
+    widthk_of_row = np.zeros(nrow, np.int64)
+    for w in widths_allowed:
+        rows_b = np.nonzero(width_of_row == w)[0]
+        if rows_b.size == 0:
+            continue
+        nb = _round_up(rows_b.size, sublanes)
+        buckets_meta.append((w, rows_b, nb, flat_base))
+        loc_of_row[rows_b] = np.arange(rows_b.size)
+        base_of_row[rows_b] = flat_base
+        widthk_of_row[rows_b] = w
+        flat_base += nb * w
+    flat_size = max(flat_base + 1, 1)  # +1: dump slot for invalid entries
+
+    # Device: one scatter of all entries into the flat bucket storage.
+    nnz_cap = csr.nnz_cap
+    rows_np = np.asarray(csr.rows)
+    k_global = np.arange(nnz_cap, dtype=np.int64)
+    slot_k = k_global - row_ptr[rows_np]  # offset within row (row-sorted CSR)
+    slot = (
+        base_of_row[rows_np]
+        + loc_of_row[rows_np] * widthk_of_row[rows_np]
+        + slot_k
+    )
+    valid_np = k_global < csr.n_valid
+    slot = np.where(valid_np, slot, flat_size - 1)
+    flat_cols, flat_vals = _fill_flat(
+        jnp.zeros((flat_size,), jnp.int8),
+        jnp.asarray(slot, jnp.int32)
+        if flat_size < 2**31
+        else jnp.asarray(slot),
+        csr.cols,
+        vals_dev,
+        jnp.asarray(valid_np),
+    )
+
+    buckets = []
+    padded = 0
+    for w, rows_b, nb, base in buckets_meta:
+        row_ids = np.zeros(nb, np.int32)
+        row_ids[: rows_b.size] = rows_b
+        cols_b = jax.lax.dynamic_slice(flat_cols, (base,), (nb * w,)).reshape(nb, w)
+        vals_b = jax.lax.dynamic_slice(flat_vals, (base,), (nb * w,)).reshape(nb, w)
+        buckets.append(
+            EllBucket(
+                row_ids=jnp.asarray(row_ids), cols=cols_b, vals=vals_b, width=w
+            )
+        )
+        padded += nb * w
+    return EllMatrix(
+        buckets=tuple(buckets),
+        shape=(nrow, ncol),
+        nnz=csr.n_valid,
+        padded_nnz=padded,
+    )

@@ -1,0 +1,88 @@
+"""Multi-RHS SpMM: ``Y = A @ X`` and ``Y = A.T @ X``.
+
+The reference's keystone optimization was the unrolled multi-column CSR
+kernel (``bcsr_A_mul_B2/4/n``, SURVEY.md §3.3) that amortizes index traffic
+over several right-hand sides. On TPU the same economics hold with much
+wider panels: each gathered X row is a full 128-lane vector, so index bytes
+are amortized 128-512x. The XLA engines here stream nonzeros in fixed-size
+chunks (static shapes; nnz-proportional HBM traffic); the MXU-fed Pallas
+path lives in `ops.pallas.bsr_spmm` for tiled BSR.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.coo import COO, BinaryCOO
+from ..formats.csr import CSR, BinaryCSR
+from ..formats.ell import EllMatrix
+
+__all__ = ["spmm", "spmm_t"]
+
+_CHUNK = 32768  # nonzeros per scan step in the streaming COO engine
+
+
+def _pad_to_chunks(a, chunk, fill=0):
+    n = a.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
+    return a.reshape(-1, chunk, *a.shape[1:])
+
+
+def _coo_arrays(A):
+    if isinstance(A, (COO, CSR)):
+        return A.rows, A.cols, A.vals
+    if isinstance(A, (BinaryCOO, BinaryCSR)):
+        return A.rows, A.cols, A.valid_mask().astype(jnp.float32)
+    raise TypeError(f"unsupported format {type(A).__name__}")
+
+
+def _stream_scatter(rows, cols, vals, X, n_out):
+    """acc[n_out, N] += vals[k] * X[cols[k]] at rows[k], chunked over k."""
+    chunk = min(_CHUNK, max(int(rows.shape[0]), 1))
+    r = _pad_to_chunks(rows, chunk)
+    c = _pad_to_chunks(cols, chunk)
+    v = _pad_to_chunks(vals, chunk)
+    acc = jnp.zeros((n_out, X.shape[1]), jnp.result_type(vals.dtype, X.dtype))
+
+    def step(acc, rcv):
+        rk, ck, vk = rcv
+        return acc.at[rk].add(vk[:, None] * X[ck]), None
+
+    acc, _ = jax.lax.scan(step, acc, (r, c, v))
+    return acc
+
+
+def spmm(A, X):
+    """``Y = A @ X``. ``X``: dtype[ncol, N] → dtype[nrow, N]."""
+    X = jnp.asarray(X)
+    if isinstance(A, EllMatrix):
+        acc = jnp.zeros((A.shape[0], X.shape[1]), jnp.result_type(A.dtype, X.dtype))
+        for b in A.buckets:
+            def step(acc, cv):
+                ck, vk = cv  # (nb,), (nb,)
+                return acc.at[b.row_ids].add(vk[:, None] * X[ck]), None
+
+            acc, _ = jax.lax.scan(step, acc, (b.cols.T, b.vals.T))
+        return acc
+    rows, cols, vals = _coo_arrays(A)
+    return _stream_scatter(rows, cols, vals, X, A.shape[0])
+
+
+def spmm_t(A, X):
+    """``Y = A.T @ X``. ``X``: dtype[nrow, N] → dtype[ncol, N]."""
+    X = jnp.asarray(X)
+    if isinstance(A, EllMatrix):
+        acc = jnp.zeros((A.shape[1], X.shape[1]), jnp.result_type(A.dtype, X.dtype))
+        for b in A.buckets:
+            Xg = X[b.row_ids]  # (nb, N)
+
+            def step(acc, cv):
+                ck, vk = cv
+                return acc.at[ck].add(vk[:, None] * Xg), None
+
+            acc, _ = jax.lax.scan(step, acc, (b.cols.T, b.vals.T))
+        return acc
+    rows, cols, vals = _coo_arrays(A)
+    return _stream_scatter(cols, rows, vals, X, A.shape[1])

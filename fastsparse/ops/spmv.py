@@ -1,0 +1,76 @@
+"""SpMV: ``y = A @ x`` and ``y = A.T @ x`` for every format.
+
+Covers the reference kernels ``A_mul_B`` / ``At_mul_B`` (COO, SURVEY.md §2
+R3-R4) and ``bcsr_A_mul_B`` / ``bcsr_At_mul_B`` (CSR, R5). The OpenMP row
+loop of §3.2 becomes, per format:
+
+* COO/CSR — a fused gather(``x[cols]``) × vals → scatter-add(``rows``),
+  compiled by XLA into its native gather/scatter kernels;
+* ELL — per-bucket dense ``(nb, K)`` gather-multiply-rowsum, one compiled
+  program per bucket width;
+* tiled BSR — Pallas MXU kernels (`ops.pallas`), dispatched from
+  `ops.bsr_ops`.
+
+Transpose products never scatter down columns of the same tiling; callers
+that need fast ``Aᵀ·x`` precompute a transpose tiling (SURVEY.md §7.3 item
+5 — "avoid scatter in Aᵀ·x via dual tilings"). The COO/CSR fallbacks here
+are correctness engines that do scatter.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..formats.coo import COO, BinaryCOO
+from ..formats.csr import CSR, BinaryCSR
+from ..formats.ell import EllMatrix
+
+__all__ = ["spmv", "spmv_t"]
+
+
+def _coo_like(mat):
+    """(rows, cols, vals) with padding already zeroed, for COO/CSR inputs."""
+    if isinstance(mat, (COO, CSR)):
+        return mat.rows, mat.cols, mat.vals
+    if isinstance(mat, (BinaryCOO, BinaryCSR)):
+        return mat.rows, mat.cols, None
+    raise TypeError(f"unsupported format {type(mat).__name__}")
+
+
+def spmv(A, x):
+    """``y = A @ x``. ``x``: dtype[ncol] → dtype[nrow]."""
+    x = jnp.asarray(x)
+    if isinstance(A, EllMatrix):
+        y = jnp.zeros((A.shape[0],), jnp.result_type(A.dtype, x.dtype))
+        for b in A.buckets:
+            contrib = (b.vals * x[b.cols]).sum(axis=1)
+            y = y.at[b.row_ids].add(contrib)
+        return y
+    rows, cols, vals = _coo_like(A)
+    gathered = x[cols]
+    if vals is None:  # binary: mask padding instead of multiplying
+        gathered = jnp.where(A.valid_mask(), gathered, 0)
+    else:
+        gathered = vals * gathered
+    return jnp.zeros((A.shape[0],), gathered.dtype).at[rows].add(gathered)
+
+
+def spmv_t(A, x):
+    """``y = A.T @ x``. ``x``: dtype[nrow] → dtype[ncol].
+
+    For ELL this is the scatter fallback; prefer a precomputed transpose
+    tiling (`linops.Transposable`) on the hot path.
+    """
+    x = jnp.asarray(x)
+    if isinstance(A, EllMatrix):
+        y = jnp.zeros((A.shape[1],), jnp.result_type(A.dtype, x.dtype))
+        for b in A.buckets:
+            contrib = b.vals * x[b.row_ids][:, None]
+            y = y.at[b.cols].add(contrib)
+        return y
+    rows, cols, vals = _coo_like(A)
+    gathered = x[rows]
+    if vals is None:
+        gathered = jnp.where(A.valid_mask(), gathered, 0)
+    else:
+        gathered = vals * gathered
+    return jnp.zeros((A.shape[1],), gathered.dtype).at[cols].add(gathered)

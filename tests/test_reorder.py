@@ -1,0 +1,114 @@
+"""Hilbert/Morton key and sorting tests (SURVEY.md §4: Hilbert index
+round-trips, sort correctness)."""
+import jax.numpy as jnp
+import numpy as np
+
+import fastsparse as fs
+
+
+def _hilbert_xy2d_ref(order, x, y):
+    """Scalar reference implementation of the classic xy2d (host, numpy)."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the low bits into the subquadrant frame
+        x &= s - 1
+        y &= s - 1
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_scalar_reference():
+    rng = np.random.default_rng(0)
+    order = 8
+    n = 256
+    rows = rng.integers(0, 1 << order, n)
+    cols = rng.integers(0, 1 << order, n)
+    got = np.asarray(fs.hilbert_key(rows, cols, order=order))
+    want = np.array(
+        [_hilbert_xy2d_ref(order, int(c), int(r)) for r, c in zip(rows, cols)],
+        dtype=np.uint32,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hilbert_is_bijective_small():
+    order = 4
+    n = 1 << order
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    keys = np.asarray(fs.hilbert_key(rr.ravel(), cc.ravel(), order=order))
+    assert len(set(keys.tolist())) == n * n
+    assert keys.max() == n * n - 1
+
+
+def test_hilbert_d2xy_roundtrip():
+    order = 8
+    d = np.arange(0, 1 << (2 * order), 97, dtype=np.uint32)
+    r, c = fs.hilbert_d2xy(d, order=order)
+    back = np.asarray(fs.hilbert_key(np.asarray(r), np.asarray(c), order=order))
+    np.testing.assert_array_equal(back, d)
+
+
+def test_hilbert_locality():
+    """Consecutive Hilbert indices are adjacent in the plane."""
+    order = 6
+    d = np.arange(1 << (2 * order), dtype=np.uint32)
+    r, c = map(np.asarray, fs.hilbert_d2xy(d, order=order))
+    step = np.abs(np.diff(r.astype(int))) + np.abs(np.diff(c.astype(int)))
+    assert step.max() == 1  # true Hilbert curve: unit steps only
+
+
+def test_morton_key64_matches_python():
+    rng = np.random.default_rng(1)
+    rows = rng.integers(0, 1 << 20, 100)
+    cols = rng.integers(0, 1 << 20, 100)
+    hi, lo = fs.morton_key64(rows, cols)
+    got = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(lo).astype(
+        np.uint64
+    )
+
+    def interleave(r, c):
+        out = 0
+        for b in range(32):
+            out |= ((c >> b) & 1) << (2 * b)
+            out |= ((r >> b) & 1) << (2 * b + 1)
+        return out
+
+    want = np.array([interleave(int(r), int(cv)) for r, cv in zip(rows, cols)],
+                    dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sort_coo_orders_and_preserves_entries():
+    rng = np.random.default_rng(2)
+    n = 500
+    rows = rng.integers(0, 100, n).astype(np.int32)
+    cols = rng.integers(0, 100, n).astype(np.int32)
+    vals = rng.standard_normal(n)
+    coo = fs.COO.from_arrays(rows, cols, vals, (100, 100))
+    for order in fs.ORDERINGS:
+        s = fs.sort_coo(coo, order)
+        # entry multiset preserved
+        got = sorted(zip(np.asarray(s.rows), np.asarray(s.cols), np.asarray(s.vals)))
+        want = sorted(zip(rows, cols, vals))
+        assert got == want
+    s = fs.sort_coo(coo, "row")
+    rr = np.asarray(s.rows)
+    assert (np.diff(rr) >= 0).all()
+
+
+def test_sort_coo_padding_stays_tail():
+    coo = fs.COO.from_arrays([5, 3], [1, 2], [1.0, 2.0], (8, 8)).pad_to(10)
+    s = fs.sort_coo(coo, "hilbert")
+    assert s.n_valid == 2
+    assert np.asarray(s.vals)[2:].sum() == 0
+    # live entries are a contiguous prefix
+    assert set(np.asarray(s.vals)[:2].tolist()) == {1.0, 2.0}

@@ -12,12 +12,19 @@ from .formats.coo import COO, BinaryCOO, coo_from_scipy, binary_coo_from_scipy
 from .formats.csr import CSR, BinaryCSR, csr_from_scipy, binary_csr_from_scipy
 from .formats.convert import to_csr, to_coo, transpose_coo
 from .formats.ell import EllMatrix, build_ell
+from .formats.bsr import BsrMatrix, build_bsr
+from .linops import SparseOperator, operator
 from .reorder.sort import sort_coo, ORDERINGS
 from .reorder.morton import morton_key, morton_key64
 from .reorder.hilbert import hilbert_key, hilbert_key64, hilbert_d2xy
 from .ops.spmv import spmv, spmv_t
 from .ops.spmm import spmm, spmm_t
 from .ops.ata import ata_x, ata_X, aat_x
+from .ops.spgemm import spgemm, spgemm_info
+from .solvers.cg import cg, cg_normal, CGResult
+from . import io
+from . import bench
+from . import parallel
 
 __version__ = "0.1.0"
 
@@ -30,6 +37,10 @@ __all__ = [
     "CSR",
     "BinaryCSR",
     "EllMatrix",
+    "BsrMatrix",
+    "build_bsr",
+    "SparseOperator",
+    "operator",
     "coo_from_scipy",
     "binary_coo_from_scipy",
     "csr_from_scipy",
@@ -52,5 +63,13 @@ __all__ = [
     "ata_x",
     "ata_X",
     "aat_x",
+    "spgemm",
+    "spgemm_info",
+    "cg",
+    "cg_normal",
+    "CGResult",
+    "io",
+    "bench",
+    "parallel",
     "__version__",
 ]

@@ -1,1 +1,13 @@
-"""Benchmark harness and speed-of-light models."""
+from .metrics import format_stats, tree_nbytes
+from .runner import time_fn, run_suite
+from .sol import measure_hbm_bw, spmm_sol_seconds, spmv_sol_seconds
+
+__all__ = [
+    "format_stats",
+    "tree_nbytes",
+    "time_fn",
+    "run_suite",
+    "measure_hbm_bw",
+    "spmm_sol_seconds",
+    "spmv_sol_seconds",
+]

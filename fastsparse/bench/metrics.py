@@ -1,0 +1,69 @@
+"""Structured format/kernel metrics (SURVEY.md §5.5).
+
+Padding overhead is the key new metric the C library never needed: the
+bucketed formats trade padded slots for static shapes, and every padded
+slot is HBM bytes. `format_stats` reports, per execution format:
+
+* ``nnz``             — real nonzeros
+* ``padding_ratio``   — padded slots / real slots (>= 1)
+* ``occupancy``       — how full the real tiles are (BSR only)
+* ``a_bytes``         — HBM bytes the format's operand arrays occupy
+* ``a_bytes_per_nnz`` — amortized A-side traffic per nonzero
+* ``programs``        — compiled-program count (buckets — BASELINE.json:5)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+
+from ..formats.bsr import BsrMatrix
+from ..formats.coo import BinaryCOO, COO
+from ..formats.csr import CSR, BinaryCSR
+from ..formats.ell import EllMatrix
+
+__all__ = ["format_stats", "tree_nbytes"]
+
+
+def tree_nbytes(tree) -> int:
+    """Total bytes of every array leaf in a pytree."""
+    return sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree.leaves(tree)
+        if hasattr(leaf, "dtype")
+    )
+
+
+def format_stats(A) -> Dict[str, Any]:
+    nbytes = tree_nbytes(A)
+    if isinstance(A, BsrMatrix):
+        return {
+            "format": "bsr-binary" if A.binary else "bsr",
+            "nnz": A.nnz,
+            "padding_ratio": A.padding_ratio,
+            "occupancy": A.tile_occupancy,
+            "tiles": A.n_tiles,
+            "padded_tiles": A.padded_tiles,
+            "a_bytes": nbytes,
+            "a_bytes_per_nnz": nbytes / max(A.nnz, 1),
+            "programs": len(A.buckets),
+        }
+    if isinstance(A, EllMatrix):
+        return {
+            "format": "ell",
+            "nnz": A.nnz,
+            "padding_ratio": A.padding_ratio,
+            "a_bytes": nbytes,
+            "a_bytes_per_nnz": nbytes / max(A.nnz, 1),
+            "programs": len(A.buckets),
+        }
+    if isinstance(A, (COO, BinaryCOO, CSR, BinaryCSR)):
+        return {
+            "format": type(A).__name__.lower(),
+            "nnz": A.nnz,
+            "padding_ratio": A.nnz_cap / max(A.nnz, 1),
+            "a_bytes": nbytes,
+            "a_bytes_per_nnz": nbytes / max(A.nnz, 1),
+            "programs": 1,
+        }
+    raise TypeError(f"unsupported format {type(A).__name__}")

@@ -1,1 +1,14 @@
-"""Matrix I/O: MatrixMarket, raw SBM binaries, npz caches, generators."""
+from .sbm import read_sbm, write_sbm, read_sdm, write_sdm
+from .mtx import read_mtx, write_mtx
+from .npz_cache import save_npz, load_npz
+
+__all__ = [
+    "read_sbm",
+    "write_sbm",
+    "read_sdm",
+    "write_sdm",
+    "read_mtx",
+    "write_mtx",
+    "save_npz",
+    "load_npz",
+]

@@ -1,0 +1,201 @@
+"""Sparse linear operators with precomputed dual tilings.
+
+The reference computes ``Aᵀ·x`` by scatter-adding down the same CSR
+(``bcsr_At_mul_B``, SURVEY.md §2 R5). On TPU, scatter down the transpose is
+the trap (SURVEY.md §7.3 item 5): the idiomatic design precomputes *both*
+tilings at convert time — ``A`` tiled by its rows and ``Aᵀ`` tiled by *its*
+rows — so every product (forward, transpose, normal equations) is a pure
+forward pass through an MXU-friendly execution format.
+
+`SparseOperator` is the user-facing handle: build once with `operator()`,
+then call `.matvec/.rmatvec/.matmat/.rmatmat/.normal_*` inside jitted code.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from .config import DEFAULT, Config
+from .formats.bsr import BsrMatrix, build_bsr
+from .formats.convert import to_coo, transpose_coo
+from .formats.coo import COO, BinaryCOO
+from .formats.csr import CSR, BinaryCSR
+from .formats.ell import EllMatrix, build_ell
+from .ops import spmm as _spmm_mod
+from .ops import spmv as _spmv_mod
+from .utils.pytree import pytree_dataclass, static_field
+
+__all__ = ["SparseOperator", "operator"]
+
+
+@pytree_dataclass
+class SparseOperator:
+    """A sparse matrix with forward (and optionally transpose) tilings.
+
+    ``fwd`` executes ``A·_``; ``bwd`` (a tiling of ``Aᵀ``) executes
+    ``Aᵀ·_`` as a forward product. When ``bwd`` is None, transpose products
+    fall back to the XLA scatter engines (correct, slower).
+
+    When built with ``reorder=`` the tilings hold the *permuted* matrix
+    ``P_r A P_cᵀ`` (degree clustering packs power-law structure into dense
+    tiles — `reorder.cluster`); operands are permuted/unpermuted at the
+    boundary by cheap O(n) gathers.
+    """
+
+    fwd: Any
+    bwd: Optional[Any]
+    row_perm: Optional[Any]  # old row id of k-th permuted row, or None
+    col_perm: Optional[Any]
+    row_inv: Optional[Any]
+    col_inv: Optional[Any]
+    shape: tuple = static_field()
+
+    @property
+    def T(self) -> "SparseOperator":
+        if self.bwd is None:
+            raise ValueError("operator built without transpose=True")
+        return SparseOperator(
+            fwd=self.bwd,
+            bwd=self.fwd,
+            row_perm=self.col_perm,
+            col_perm=self.row_perm,
+            row_inv=self.col_inv,
+            col_inv=self.row_inv,
+            shape=(self.shape[1], self.shape[0]),
+        )
+
+    # -- permutation boundary ------------------------------------------------
+    def _in_cols(self, x):
+        return x if self.col_perm is None else x[self.col_perm]
+
+    def _in_rows(self, x):
+        return x if self.row_perm is None else x[self.row_perm]
+
+    def _out_rows(self, y):
+        return y if self.row_inv is None else y[self.row_inv]
+
+    def _out_cols(self, y):
+        return y if self.col_inv is None else y[self.col_inv]
+
+    # -- products ----------------------------------------------------------
+    def matvec(self, x):
+        """``A @ x``."""
+        return self._out_rows(_spmv_mod.spmv(self.fwd, self._in_cols(x)))
+
+    def rmatvec(self, x):
+        """``Aᵀ @ x`` — forward product over the dual tiling when present."""
+        if self.bwd is not None:
+            return self._out_cols(_spmv_mod.spmv(self.bwd, self._in_rows(x)))
+        return self._out_cols(_spmv_mod.spmv_t(self.fwd, self._in_rows(x)))
+
+    def matmat(self, X):
+        """``A @ X``."""
+        return self._out_rows(_spmm_mod.spmm(self.fwd, self._in_cols(X)))
+
+    def rmatmat(self, X):
+        """``Aᵀ @ X``."""
+        if self.bwd is not None:
+            return self._out_cols(_spmm_mod.spmm(self.bwd, self._in_rows(X)))
+        return self._out_cols(_spmm_mod.spmm_t(self.fwd, self._in_rows(X)))
+
+    def normal_matvec(self, x, reg=0.0):
+        """``(AᵀA + reg·I) @ x`` — the Macau/SMURFF CG inner product
+        (reference ``bcsr_AA_mul_B``, SURVEY.md §3.3). ``reg`` may be a
+        traced scalar; the zero case folds away under jit."""
+        return self.rmatvec(self.matvec(x)) + reg * x
+
+    def normal_matmat(self, X, reg=0.0):
+        """``(AᵀA + reg·I) @ X``."""
+        return self.rmatmat(self.matmat(X)) + reg * X
+
+    def gram_matvec(self, x, reg=0.0):
+        """``(AAᵀ + reg·I) @ x``."""
+        return self.matvec(self.rmatvec(x)) + reg * x
+
+    def __matmul__(self, other):
+        other = jnp.asarray(other)
+        return self.matvec(other) if other.ndim == 1 else self.matmat(other)
+
+
+_FORMATS = ("auto", "bsr", "ell", "coo", "csr")
+
+
+def _compile_one(coo, fmt: str, config: Config, dtype):
+    if fmt == "bsr":
+        return build_bsr(coo, config=config, dtype=dtype)
+    if fmt == "ell":
+        return build_ell(coo, config=config, dtype=dtype)
+    if fmt == "csr":
+        from .formats.convert import to_csr
+
+        return to_csr(coo)
+    return coo
+
+
+def operator(
+    mat,
+    format: str = "auto",
+    transpose: bool = True,
+    config: Config = DEFAULT,
+    dtype=None,
+    reorder: Optional[str] = None,
+) -> SparseOperator:
+    """Compile ``mat`` (COO/CSR/scipy) into a :class:`SparseOperator`.
+
+    ``format='auto'`` picks BSR for f32/bf16 (Pallas MXU path) and ELL for
+    f64 (XLA engine path — TPU f64 is emulated, SURVEY.md §7.3 item 4).
+    ``transpose=True`` additionally compiles the dual tiling of ``Aᵀ``.
+    ``reorder='degree'`` permutes rows/columns by descending degree before
+    tiling (packs power-law structure into dense tiles; products are
+    unchanged — operands are permuted at the boundary).
+    """
+    if format not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}")
+    if hasattr(mat, "tocoo") and not isinstance(
+        mat, (COO, BinaryCOO, CSR, BinaryCSR, EllMatrix, BsrMatrix)
+    ):
+        # scipy input
+        from .formats.coo import binary_coo_from_scipy, coo_from_scipy
+        import numpy as np
+
+        m = mat.tocoo()
+        if (m.data == 1.0).all() and dtype is None:
+            coo = binary_coo_from_scipy(m)
+        else:
+            coo = coo_from_scipy(m, dtype=dtype)
+    else:
+        coo = to_coo(mat)
+
+    if format == "auto":
+        is_binary = isinstance(coo, BinaryCOO)
+        vdtype = jnp.float32 if is_binary else coo.vals.dtype
+        if dtype is not None:
+            vdtype = jnp.dtype(dtype)
+        format = "bsr" if vdtype in (jnp.float32, jnp.bfloat16) else "ell"
+
+    row_perm = col_perm = row_inv = col_inv = None
+    if reorder == "degree":
+        from .reorder.cluster import degree_perms, invert_perm, permute_coo
+
+        row_perm, col_perm = degree_perms(coo)
+        row_inv = invert_perm(row_perm)
+        col_inv = invert_perm(col_perm)
+        coo = permute_coo(coo, row_perm, col_perm)
+    elif reorder not in (None, "none"):
+        raise ValueError(f"unknown reorder {reorder!r}")
+
+    fwd = _compile_one(coo, format, config, dtype)
+    bwd = None
+    if transpose:
+        coo_t = transpose_coo(coo)
+        bwd = _compile_one(coo_t, format, config, dtype)
+    return SparseOperator(
+        fwd=fwd,
+        bwd=bwd,
+        row_perm=row_perm,
+        col_perm=col_perm,
+        row_inv=row_inv,
+        col_inv=col_inv,
+        shape=tuple(coo.shape),
+    )

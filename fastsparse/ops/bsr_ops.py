@@ -1,0 +1,146 @@
+"""BsrMatrix SpMM / SpMV dispatch: padding, bucket loop, strip scatter.
+
+Bridges the format (`formats.bsr.BsrMatrix`) to the Pallas kernels
+(`ops.pallas.bsr_spmm`): pads X to slab/lane multiples, runs one compiled
+kernel per bucket (one compilation per bucket shape — BASELINE.json:5), and
+scatters per-bucket strip outputs into the global Y. Strips are disjoint
+across buckets (each row-strip lives in exactly one bucket), so the scatter
+is add-free of races by construction — the TPU analog of the reference's
+row-block ownership (SURVEY.md §3.4).
+
+Pallas runs f32/bf16; f64 inputs fall back to the XLA COO engines
+(TPU f64 is emulated — SURVEY.md §7.3 item 4 keeps fp64 correct-but-slow).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.bsr import BsrMatrix
+from .pallas.bsr_spmm import bucket_spmm, bucket_spmv, pick_strategy
+
+__all__ = ["bsr_spmm", "bsr_spmv"]
+
+LANES = 128
+
+_PALLAS_DTYPES = (jnp.float32, jnp.bfloat16)
+
+# slab_ids are scalar-prefetched into SMEM (1 MB/core); cap entries per call.
+_SMEM_IDX_BUDGET = 64 * 1024  # int32 entries -> 256 KB
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket_chunks(b, dump_strip: int):
+    """Split a bucket into fixed-``ns`` chunks whose slab_ids fit SMEM.
+
+    All chunks of a bucket share one shape -> one compiled program per
+    bucket width regardless of bucket size. The tail chunk is padded with
+    harmless rows (slab 0, zero tiles, strip id = the caller's dump strip).
+    """
+    ns, T = b.slab_ids.shape
+    ns_max = max(8, (_SMEM_IDX_BUDGET // max(T, 1)) // 8 * 8)
+    if ns <= ns_max:
+        yield b.strip_ids, b.slab_ids, b.tiles
+        return
+    for s0 in range(0, ns, ns_max):
+        s1 = min(s0 + ns_max, ns)
+        strip = b.strip_ids[s0:s1]
+        slab = b.slab_ids[s0:s1]
+        tiles = b.tiles[s0:s1]
+        if s1 - s0 < ns_max:
+            pad = ns_max - (s1 - s0)
+            strip = jnp.concatenate(
+                [strip, jnp.full((pad,), dump_strip, strip.dtype)]
+            )
+            slab = jnp.concatenate([slab, jnp.zeros((pad, T), slab.dtype)])
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad,) + tiles.shape[1:], tiles.dtype)]
+            )
+        yield strip, slab, tiles
+
+
+def pallas_supported(dtype) -> bool:
+    return jnp.dtype(dtype) in (jnp.dtype(d) for d in _PALLAS_DTYPES)
+
+
+def bsr_spmm(A: BsrMatrix, X, *, n_block: int | None = None) -> jax.Array:
+    """``Y = A @ X`` via the Pallas tile kernels. X: dtype[ncol, N]."""
+    X = jnp.asarray(X)
+    nrow, ncol = A.shape
+    N = X.shape[1]
+    TM, TK = A.tile_m, A.tile_k
+    nsp, nsl = A.n_strips, A.n_slabs
+
+    if not pallas_supported(X.dtype):
+        from .spmm import spmm as coo_spmm
+
+        # correctness fallback (fp64 etc.) through the XLA engine
+        return coo_spmm(_as_coo(A), X)
+
+    if n_block is None:
+        n_block = min(_round_up(N, LANES), 512)
+    Npad = _round_up(N, n_block)
+    Xp = jnp.zeros((nsl * TK, Npad), X.dtype).at[:ncol, :N].set(X)
+
+    strategy = pick_strategy(
+        nsl, TK, n_block, X.dtype.itemsize, A.padded_tiles, Npad // n_block
+    )
+
+    # Dump strip nsp catches padding bucket slots (strip_ids == nsp).
+    Y = jnp.zeros((nsp + 1, TM, Npad), X.dtype)
+    for b in A.buckets:
+        for strip_ids, slab_ids, tiles in _bucket_chunks(b, nsp):
+            Yb = bucket_spmm(
+                slab_ids,
+                tiles,
+                Xp,
+                tile_m=TM,
+                tile_k=TK,
+                binary=A.binary,
+                n_block=n_block,
+                strategy=strategy,
+            )
+            ns_c = slab_ids.shape[0]
+            Y = Y.at[strip_ids].set(Yb.reshape(ns_c, TM, Npad))
+    return Y[:nsp].reshape(nsp * TM, Npad)[:nrow, :N]
+
+
+def bsr_spmv(A: BsrMatrix, x) -> jax.Array:
+    """``y = A @ x`` via the Pallas VPU tile kernel. x: dtype[ncol]."""
+    x = jnp.asarray(x)
+    nrow, ncol = A.shape
+    TM, TK = A.tile_m, A.tile_k
+    nsp, nsl = A.n_strips, A.n_slabs
+
+    if not pallas_supported(x.dtype):
+        from .spmv import spmv as coo_spmv
+
+        return coo_spmv(_as_coo(A), x)
+
+    x_vmem_bytes = nsl * TK * x.dtype.itemsize
+    if x_vmem_bytes > 12 * 1024 * 1024:
+        # x too large for VMEM residency: run as a 1-column SpMM panel.
+        return bsr_spmm(A, x[:, None], n_block=LANES)[:, 0]
+
+    xp = jnp.zeros((nsl * TK,), x.dtype).at[:ncol].set(x).reshape(nsl, TK)
+    y = jnp.zeros((nsp + 1, TM), x.dtype)
+    for b in A.buckets:
+        for strip_ids, slab_ids, tiles in _bucket_chunks(b, nsp):
+            yb = bucket_spmv(
+                slab_ids, tiles, xp, tile_m=TM, tile_k=TK, binary=A.binary
+            )
+            y = y.at[strip_ids].set(yb)
+    return y[:nsp].reshape(nsp * TM)[:nrow]
+
+
+def _as_coo(A: BsrMatrix):
+    """Decompress a BsrMatrix to COO (slow; fallback paths only)."""
+    from ..formats.coo import coo_from_scipy
+    import numpy as np
+    import scipy.sparse as sp
+
+    dense = np.asarray(jax.device_get(A.todense()))
+    return coo_from_scipy(sp.coo_matrix(dense))

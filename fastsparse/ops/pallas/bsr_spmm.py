@@ -1,0 +1,308 @@
+"""Pallas TPU kernels for tiled-BSR SpMM / SpMV.
+
+TPU-native re-design of the reference's hot kernels (SURVEY.md §3.2-3.3:
+``bcsr_A_mul_B*``, ``bsbm_A_mul_B``): the OpenMP row loop becomes a Pallas
+grid over (RHS panel, row-strip, tile); the per-nonzero gather ``x[cols[j]]``
+disappears entirely — column indices are consumed at *DMA time* as
+scalar-prefetched block indices, so the inner loop is a dense
+``(TM×TK) @ (TK×NB)`` MXU contraction per tile.
+
+Two X placement strategies, chosen by a bytes model (`pick_strategy`):
+
+* **resident** — the whole padded X panel lives in VMEM; each tile slices
+  its slab with a dynamic ``pl.ds``. X is DMA'd once per sweep; A-bytes
+  dominate. Best when ``n_slabs·TK·NB·itemsize`` fits the VMEM budget.
+* **streamed** — each tile's X slab is DMA'd by the Pallas pipeline via a
+  scalar-prefetch index map (``slab_ids`` in SMEM). X bytes scale with the
+  tile count; best for very wide matrices.
+
+Binary matrices use bitmask tiles (1 bit per slot, 32× less A-traffic than
+f32): words are expanded to a 0/1 mask on the VPU with the supported
+lane-gather (`take_along_axis` axis=1) and fed to the MXU.
+
+All kernels run compiled on TPU and under ``interpret=True`` elsewhere
+(CPU test suite), selected automatically per backend.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "bucket_spmm",
+    "bucket_spmv",
+    "pick_strategy",
+    "RESIDENT_VMEM_BUDGET",
+]
+
+LANES = 128
+RESIDENT_VMEM_BUDGET = 12 * 1024 * 1024  # bytes of VMEM we let X occupy
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _expand_bits(words, tile_k: int, dtype):
+    """uint32 (TM, W) -> 0/1 mask (TM, TK), word-major bit layout.
+
+    Bit for tile-column ``c`` is word ``c % W``, position ``c // W``
+    (matches `formats.bsr.build_bsr`). Uses the lane-dim gather that Mosaic
+    supports (`take_along_axis` axis=1).
+    """
+    TM = words.shape[0]
+    W = tile_k // 32
+    # Lane-concat of 32 copies: rep[:, c] == words[:, c % W] — the word-major
+    # expansion with no gather (Mosaic-friendly).
+    rep = jnp.concatenate([words] * 32, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TM, tile_k), 1)
+    bit = (col // W).astype(jnp.uint32)
+    on = ((rep >> bit) & jnp.uint32(1)) != 0
+    # jnp.where, not astype: Mosaic has no uint32 -> float cast
+    return jnp.where(on, jnp.ones((), dtype), jnp.zeros((), dtype))
+
+
+def _tile_mat(tile, binary: bool, tile_k: int, dtype):
+    """(TM, ·) stored tile -> (TM, TK) matrix for the MXU."""
+    if binary:
+        return _expand_bits(tile, tile_k, dtype)
+    return tile
+
+
+# ---------------------------------------------------------------------------
+# SpMM kernels: Y[strip] = sum_t tile(i,t) @ X[slab(i,t)]
+# ---------------------------------------------------------------------------
+
+
+_SG = 8  # strips per grid step — amortizes grid overhead, >= 8 sublanes
+_TB = 4  # tiles per grid step per strip — batches tile DMAs
+
+
+def _spmm_resident_body(binary, TK, TM, SG, TB, slab_ref, tiles_ref, x_ref, o_ref):
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    # SG×TB tiles per step: unrolled — every trip is a dense MXU contraction.
+    for g in range(SG):
+        acc = None
+        for u in range(TB):
+            slab = slab_ref[i * SG + g, t * TB + u]
+            xs = x_ref[pl.ds(slab * TK, TK), :]
+            a = _tile_mat(tiles_ref[g, u], binary, TK, xs.dtype)
+            # HIGHEST: f32 operands must not fall to one-pass bf16 on the
+            # MXU (fp32 parity is rtol 1e-6 — BASELINE.json:5).
+            d = jnp.dot(
+                a, xs, preferred_element_type=o_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc = d if acc is None else acc + d
+        o_ref[pl.ds(g * TM, TM), :] += acc
+
+
+def _spmm_streamed_body(binary, TK, slab_ref, tiles_ref, x_ref, o_ref):
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    a = _tile_mat(tiles_ref[0, 0], binary, TK, x_ref.dtype)
+    o_ref[:] += jnp.dot(
+        a, x_ref[:], preferred_element_type=o_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_m", "tile_k", "binary", "n_block", "strategy"),
+)
+def bucket_spmm(
+    slab_ids,  # int32[ns, T]
+    tiles,  # dtype[ns,T,TM,TK] | uint32[ns,T,TM,W]
+    x,  # dtype[n_slabs*TK, Npad] (already padded)
+    *,
+    tile_m: int,
+    tile_k: int,
+    binary: bool,
+    n_block: int,
+    strategy: str,
+) -> jax.Array:
+    """One bucket's ``Y_b = A_b @ X``: returns dtype[ns*TM, Npad]."""
+    ns, T = slab_ids.shape
+    K_all, Npad = x.shape
+    NB = n_block
+    nj = Npad // NB
+    out_dtype = x.dtype
+
+    if strategy == "resident":
+        SG = _SG if ns % _SG == 0 else 1
+        TB = _TB if T % _TB == 0 else (2 if T % 2 == 0 else 1)
+        body = functools.partial(
+            _spmm_resident_body, binary, tile_k, tile_m, SG, TB
+        )
+        x_spec = pl.BlockSpec(
+            (K_all, NB), lambda j, i, t, s: (0, j), memory_space=pltpu.VMEM
+        )
+        tiles_spec = pl.BlockSpec(
+            (SG, TB, tile_m, tiles.shape[-1]),
+            lambda j, i, t, s: (i, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (SG * tile_m, NB), lambda j, i, t, s: (i, j), memory_space=pltpu.VMEM
+        )
+        grid = (nj, ns // SG, T // TB)
+    else:
+        body = functools.partial(_spmm_streamed_body, binary, tile_k)
+        x_spec = pl.BlockSpec(
+            (tile_k, NB),
+            lambda j, i, t, s: (s[i, t], j),
+            memory_space=pltpu.VMEM,
+        )
+        tiles_spec = pl.BlockSpec(
+            (1, 1, tile_m, tiles.shape[-1]),
+            lambda j, i, t, s: (i, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (tile_m, NB), lambda j, i, t, s: (i, j), memory_space=pltpu.VMEM
+        )
+        grid = (nj, ns, T)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[tiles_spec, x_spec],
+        out_specs=out_spec,
+    )
+    flops = 2 * ns * T * tile_m * tile_k * Npad
+    abytes = tiles.size * tiles.dtype.itemsize
+    xbytes = (
+        K_all * Npad * x.dtype.itemsize
+        if strategy == "resident"
+        else ns * T * tile_k * Npad * x.dtype.itemsize
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ns * tile_m, Npad), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=abytes + xbytes, transcendentals=0
+        ),
+        interpret=_interpret(),
+    )(slab_ids, tiles, x)
+
+
+# ---------------------------------------------------------------------------
+# SpMV kernel: y[strip] = sum_t tile(i,t) @ x[slab(i,t)]
+# x resident in VMEM as (n_slabs, TK); per-strip lane reduction at t == T-1.
+# ---------------------------------------------------------------------------
+
+
+_SPMV_GROUP = 8  # strips per grid step (Mosaic wants >= 8 output sublanes)
+
+
+def _spmv_body(binary, TK, TB, slab_ref, tiles_ref, x_ref, o_ref, acc_ref):
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for g in range(_SPMV_GROUP):
+        acc = None
+        for u in range(TB):
+            slab = slab_ref[i * _SPMV_GROUP + g, t * TB + u]
+            xs = x_ref[pl.ds(slab, 1), :]  # (1, TK)
+            a = _tile_mat(tiles_ref[g, u], binary, TK, xs.dtype)
+            d = a * xs
+            acc = d if acc is None else acc + d
+        acc_ref[g] += acc
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        # (G, TM, TK) -> per-strip row sums -> (G, TM) output block.
+        o_ref[:] = jnp.sum(acc_ref[:], axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k", "binary"))
+def bucket_spmv(
+    slab_ids,  # int32[ns, T]
+    tiles,
+    x,  # dtype[n_slabs, TK]
+    *,
+    tile_m: int,
+    tile_k: int,
+    binary: bool,
+) -> jax.Array:
+    """One bucket's ``y_b = A_b @ x``: returns dtype[ns, TM]."""
+    ns, T = slab_ids.shape
+    out_dtype = x.dtype
+    G = _SPMV_GROUP
+    assert ns % G == 0, f"bucket ns={ns} not a multiple of {G}"
+    TB = _TB if T % _TB == 0 else (2 if T % 2 == 0 else 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ns // G, T // TB),
+        in_specs=[
+            pl.BlockSpec(
+                (G, TB, tile_m, tiles.shape[-1]),
+                lambda i, t, s: (i, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x fully resident
+        ],
+        out_specs=pl.BlockSpec(
+            (G, tile_m), lambda i, t, s: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((G, tile_m, tile_k), out_dtype)],
+    )
+    return pl.pallas_call(
+        functools.partial(_spmv_body, binary, tile_k, TB),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ns, tile_m), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(slab_ids, tiles, x)
+
+
+def pick_strategy(
+    n_slabs: int,
+    tile_k: int,
+    n_block: int,
+    itemsize: int,
+    total_tiles: int,
+    n_panels: int,
+) -> str:
+    """Choose X placement by modeled HBM bytes.
+
+    resident: X DMA'd once per panel sweep -> n_slabs·TK·NB·itemsize each.
+    streamed: one slab DMA per tile       -> tiles·TK·NB·itemsize each.
+    Resident additionally must fit the VMEM budget.
+    """
+    x_panel_bytes = n_slabs * tile_k * n_block * itemsize
+    if x_panel_bytes > RESIDENT_VMEM_BUDGET:
+        return "streamed"
+    # Strongly prefer resident: the streamed kernel runs one tile per grid
+    # step (grid overhead + 4 KB DMAs); resident batches SG×TB tiles.
+    return "resident"

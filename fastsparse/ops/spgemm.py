@@ -1,0 +1,173 @@
+"""SpGEMM ``C = A @ B`` with fused output-structure estimation.
+
+Reference capability R8 (SURVEY.md §2; BASELINE.json:10 — "SpGEMM … with
+fused output-nnz estimation"). TPU-native design (SURVEY.md §7.2 M5):
+
+* **Symbolic phase (host, compile step)** — tile the operands:
+  A into (TM × TK) tiles keyed by (row-strip i, k-slab), B into (TK × TJ)
+  tiles keyed by (k-strip, col-slab j). Join on k: every A-tile (i,k) ×
+  B-tile (k,j) pair contributes to output tile (i,j). The join *is* the
+  output-nnz estimation — ``len(unique (i,j))·TM·TJ`` upper-bounds nnz(C)
+  (returned as ``est_nnz`` before any numerics run), and it fixes the
+  static shapes XLA needs.
+* **Numeric phase (device)** — one batched MXU contraction per pair chunk:
+  ``C_tiles[out] += A_tiles[p] @ B_tiles[p]`` via `dot_general` + segment
+  scatter-add over output-tile ids; then exact-nnz compaction of the dense
+  output tiles back to COO.
+
+Dynamic output size vs XLA static shapes (SURVEY.md §7.3 item 2) is handled
+by the symbolic upper bound: the dense output-tile buffer is allocated from
+the estimate, and the final COO carries ``n_valid = exact nnz`` with
+padding entries beyond it.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT, Config
+from ..formats.coo import COO, BinaryCOO, coo_from_scipy
+from ..formats.csr import CSR, BinaryCSR
+
+__all__ = ["spgemm", "spgemm_info"]
+
+_PAIR_CHUNK = 4096  # tile pairs per batched matmul step
+
+
+def _host_coo(mat):
+    if isinstance(mat, (CSR, BinaryCSR)):
+        mat = mat.to_coo()
+    if isinstance(mat, BinaryCOO):
+        rows = np.asarray(mat.rows)[: mat.n_valid]
+        cols = np.asarray(mat.cols)[: mat.n_valid]
+        vals = np.ones(rows.shape[0], np.float32)
+        return rows, cols, vals, mat.shape
+    if isinstance(mat, COO):
+        rows = np.asarray(mat.rows)[: mat.n_valid]
+        cols = np.asarray(mat.cols)[: mat.n_valid]
+        vals = np.asarray(mat.vals)[: mat.n_valid]
+        return rows, cols, vals, mat.shape
+    m = mat.tocoo()  # scipy
+    return m.row, m.col, m.data, m.shape
+
+
+def _tile_up(rows, cols, vals, shape, tm, tk):
+    """Dense tiles: returns (tile_vals f32[nt, tm, tk], strip[nt], slab[nt])."""
+    strip = rows // tm
+    slab = cols // tk
+    n_slabs = -(-shape[1] // tk)
+    pair = strip * n_slabs + slab
+    upair, inv = np.unique(pair, return_inverse=True)
+    nt = upair.size
+    slot = inv * (tm * tk) + (rows % tm) * tk + (cols % tk)
+    flat = jnp.zeros((max(nt, 1) * tm * tk,), jnp.float32)
+    flat = flat.at[jnp.asarray(slot)].add(jnp.asarray(vals, jnp.float32))
+    tiles = flat.reshape(max(nt, 1), tm, tk)
+    return tiles, (upair // n_slabs).astype(np.int64), (upair % n_slabs).astype(np.int64)
+
+
+def spgemm_info(A, B, config: Config = DEFAULT) -> dict:
+    """Symbolic phase only: output tile structure + nnz upper bound."""
+    return _symbolic(A, B, config)[0]
+
+
+def _symbolic(A, B, config: Config):
+    TM, TK = config.tile_m, config.tile_k
+    ra, ca, va, (ma, ka) = _host_coo(A)
+    rb, cb, vb, (kb, nb) = _host_coo(B)
+    if ka != kb:
+        raise ValueError(f"inner dims mismatch: {ka} vs {kb}")
+
+    a_tiles, a_strip, a_kslab = _tile_up(ra, ca, va, (ma, ka), TM, TK)
+    # B tiled with row-strip = TK so A-tile @ B-tile chains on the MXU
+    b_tiles, b_kstrip, b_jslab = _tile_up(rb, cb, vb, (kb, nb), TK, TK)
+
+    # join on k: sort B tiles by kstrip, then for each A tile emit its pairs
+    order = np.argsort(b_kstrip, kind="stable")
+    b_kstrip_s = b_kstrip[order]
+    starts = np.searchsorted(b_kstrip_s, a_kslab, side="left")
+    ends = np.searchsorted(b_kstrip_s, a_kslab, side="right")
+    counts = ends - starts
+    n_pairs = int(counts.sum())
+    ai = np.repeat(np.arange(a_strip.size), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    pos = np.arange(n_pairs) - np.repeat(offs, counts) + np.repeat(starts, counts)
+    bi = order[pos] if n_pairs else np.zeros(0, np.int64)
+
+    n_jslabs = -(-nb // TK)
+    out_pair = a_strip[ai] * n_jslabs + b_jslab[bi]
+    uout, out_idx = np.unique(out_pair, return_inverse=True)
+    info = {
+        "n_pairs": n_pairs,
+        "n_out_tiles": int(uout.size),
+        "est_nnz": int(uout.size) * TM * TK,
+        "flops": 2 * n_pairs * TM * TK * TK,
+    }
+    sym = (a_tiles, b_tiles, ai, bi, uout, out_idx, (ma, ka, nb), n_jslabs)
+    return info, sym
+
+
+@jax.jit
+def _numeric_chunk(C_tiles, a_chunk, b_chunk, out_chunk):
+    prod = jax.lax.dot_general(
+        a_chunk,
+        b_chunk,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return C_tiles.at[out_chunk].add(prod)
+
+
+def spgemm(A, B, config: Config = DEFAULT) -> Tuple[COO, dict]:
+    """``C = A @ B``. Returns (C as COO with exact nnz, info dict).
+
+    ``info`` carries the fused estimation: ``est_nnz`` (symbolic upper
+    bound, available before numerics), ``nnz`` (exact, post-compaction),
+    ``n_pairs``/``flops`` (numeric work).
+    """
+    TM, TK = config.tile_m, config.tile_k
+    info, sym = _symbolic(A, B, config)
+    a_tiles, b_tiles, ai, bi, uout, out_idx, (ma, ka, nb), n_jslabs = sym
+
+    nt_out = max(int(uout.size), 1)
+    C_tiles = jnp.zeros((nt_out, TM, TK), jnp.float32)
+    n_pairs = info["n_pairs"]
+    if n_pairs:
+        step = _PAIR_CHUNK
+        ai_j = jnp.asarray(ai)
+        bi_j = jnp.asarray(bi)
+        oi_j = jnp.asarray(out_idx)
+        for p0 in range(0, n_pairs, step):
+            p1 = min(p0 + step, n_pairs)
+            if p1 - p0 < step and p0 > 0:
+                # pad the tail chunk so every chunk shares one program
+                pad = step - (p1 - p0)
+                a_idx = jnp.concatenate([ai_j[p0:p1], jnp.zeros(pad, ai_j.dtype)])
+                b_idx = jnp.concatenate([bi_j[p0:p1], jnp.zeros(pad, bi_j.dtype)])
+                o_idx = jnp.concatenate(
+                    [oi_j[p0:p1], jnp.full(pad, nt_out - 1, oi_j.dtype)]
+                )
+                a_chunk = a_tiles[a_idx] * jnp.concatenate(
+                    [jnp.ones(p1 - p0), jnp.zeros(pad)]
+                ).astype(jnp.float32).reshape(-1, 1, 1)
+            else:
+                a_idx, b_idx, o_idx = ai_j[p0:p1], bi_j[p0:p1], oi_j[p0:p1]
+                a_chunk = a_tiles[a_idx]
+            C_tiles = _numeric_chunk(C_tiles, a_chunk, b_tiles[b_idx], o_idx)
+
+    # exact-nnz compaction back to COO (host roundtrip for the indices)
+    C_host = np.asarray(C_tiles)
+    strips = uout // n_jslabs
+    jslabs = uout % n_jslabs
+    t, r, c = np.nonzero(C_host)
+    rows = strips[t] * TM + r
+    cols = jslabs[t] * TK + c
+    keep = (rows < ma) & (cols < nb)
+    rows, cols = rows[keep], cols[keep]
+    vals = C_host[t[keep], r[keep], c[keep]]
+    info["nnz"] = int(rows.size)
+    C = COO.from_arrays(rows, cols, vals.astype(np.float32), (ma, nb))
+    return C, info

@@ -57,6 +57,12 @@ def _stream_scatter(rows, cols, vals, X, n_out):
 def spmm(A, X):
     """``Y = A @ X``. ``X``: dtype[ncol, N] → dtype[nrow, N]."""
     X = jnp.asarray(X)
+    from ..formats.bsr import BsrMatrix
+
+    if isinstance(A, BsrMatrix):
+        from .bsr_ops import bsr_spmm
+
+        return bsr_spmm(A, X)
     if isinstance(A, EllMatrix):
         acc = jnp.zeros((A.shape[0], X.shape[1]), jnp.result_type(A.dtype, X.dtype))
         for b in A.buckets:
@@ -73,6 +79,13 @@ def spmm(A, X):
 def spmm_t(A, X):
     """``Y = A.T @ X``. ``X``: dtype[nrow, N] → dtype[ncol, N]."""
     X = jnp.asarray(X)
+    from ..formats.bsr import BsrMatrix
+
+    if isinstance(A, BsrMatrix):
+        raise TypeError(
+            "BsrMatrix has no transpose-scatter path; build the dual tiling "
+            "via fastsparse.operator(..., transpose=True) instead"
+        )
     if isinstance(A, EllMatrix):
         acc = jnp.zeros((A.shape[1], X.shape[1]), jnp.result_type(A.dtype, X.dtype))
         for b in A.buckets:

@@ -39,6 +39,12 @@ def _coo_like(mat):
 def spmv(A, x):
     """``y = A @ x``. ``x``: dtype[ncol] → dtype[nrow]."""
     x = jnp.asarray(x)
+    from ..formats.bsr import BsrMatrix
+
+    if isinstance(A, BsrMatrix):
+        from .bsr_ops import bsr_spmv
+
+        return bsr_spmv(A, x)
     if isinstance(A, EllMatrix):
         y = jnp.zeros((A.shape[0],), jnp.result_type(A.dtype, x.dtype))
         for b in A.buckets:
@@ -61,6 +67,13 @@ def spmv_t(A, x):
     tiling (`linops.Transposable`) on the hot path.
     """
     x = jnp.asarray(x)
+    from ..formats.bsr import BsrMatrix
+
+    if isinstance(A, BsrMatrix):
+        raise TypeError(
+            "BsrMatrix has no transpose-scatter path; build the dual tiling "
+            "via fastsparse.operator(..., transpose=True) instead"
+        )
     if isinstance(A, EllMatrix):
         y = jnp.zeros((A.shape[1],), jnp.result_type(A.dtype, x.dtype))
         for b in A.buckets:

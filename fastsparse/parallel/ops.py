@@ -1,0 +1,291 @@
+"""Distributed SpMV / SpMM / normal-equation products over a device mesh.
+
+TPU-native replacement for the communication layer the reference never had
+(single node, OpenMP — SURVEY.md §2.2 N4): XLA collectives over ICI/DCN via
+`shard_map` on a 1-D `jax.sharding.Mesh`. Rows are owned (no communication
+on y — §3.4's trick); only the dense operand moves:
+
+* **all-gather schedule** — one `all_gather` of the x shards, then local
+  tile compute. Simple; XLA's latency-hiding scheduler already overlaps the
+  gather with any preceding compute.
+* **ring schedule** — P-step `ppermute` ring: at step s each shard
+  multiplies the column block matching the x-block it currently holds while
+  the next block is in flight (BASELINE.json:5 "halo segments … overlapped
+  with local tile SpMV compute" — the ring-attention mechanics applied to
+  SpMV, SURVEY.md §5.7).
+
+Normal equations ``AᵀAx`` use the row shards twice: forward with gathered
+x, then the transpose contribution of *local* rows only, combined with
+`psum_scatter` — one all-gather + one reduce-scatter per product, no
+scatter down a transpose tiling anywhere.
+
+Everything here is mesh-shape-generic: tests run on 8 fake CPU devices
+(SURVEY.md §4.3); pods only change the mesh constructor.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.4.35 exposes shard_map at the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..formats.coo import COO
+from .partition import RowPartitioned
+
+__all__ = [
+    "make_row_mesh",
+    "shard_partitioned",
+    "pad_operand",
+    "unpad_result",
+    "pspmv",
+    "pspmm",
+    "pnormal_mv",
+    "pnormal_mm",
+]
+
+
+def make_row_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return jax.make_mesh((len(devs),), (axis,), devices=devs)
+
+
+def shard_partitioned(Ap: RowPartitioned, mesh: Mesh, axis: str = "rows"):
+    """Place the stacked shard arrays so leading axis maps to the mesh."""
+
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, Ap)
+
+
+def _local(tree):
+    """Strip the leading stacked-shard axis inside shard_map."""
+    return jax.tree.map(lambda a: a[0], tree)
+
+
+def _take_block(tree, q):
+    """Dynamically select column block ``q`` from a (1, P, cap…) stack."""
+    return jax.tree.map(lambda a: a[0, q], tree)
+
+
+def pad_operand(v, Ap: RowPartitioned, side: str):
+    """Zero-pad a global dense operand to the padded partitioned extent.
+
+    side='cols': operand indexed by columns (x of A·x) -> P·col_block.
+    side='rows': operand indexed by rows (x of Aᵀ·x)   -> P·row_block.
+    """
+    n = Ap.n_shards * (Ap.col_block if side == "cols" else Ap.row_block)
+    pad = n - v.shape[0]
+    if pad == 0:
+        return v
+    widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+    return jnp.pad(v, widths)
+
+
+def unpad_result(v, Ap: RowPartitioned, side: str):
+    n = Ap.shape[0] if side == "rows" else Ap.shape[1]
+    if (
+        isinstance(v, jax.Array)
+        and not isinstance(v, jax.core.Tracer)
+        and isinstance(v.sharding, NamedSharding)
+    ):
+        # Slicing a sharded dim is ambiguous under sharding-in-types;
+        # replicate first (host-side convenience path only).
+        v = jax.device_put(v, NamedSharding(v.sharding.mesh, P()))
+    return v[:n]
+
+
+def _spmv_local(A_coo: COO, x, n_out: int):
+    g = A_coo.vals * x[A_coo.cols]
+    return jnp.zeros((n_out,), g.dtype).at[A_coo.rows].add(g)
+
+
+def _spmm_local(A_coo: COO, X, n_out: int):
+    g = A_coo.vals[:, None] * X[A_coo.cols]
+    return jnp.zeros((n_out, X.shape[1]), g.dtype).at[A_coo.rows].add(g)
+
+
+def _spmv_t_local(A_coo: COO, y, n_out: int):
+    g = A_coo.vals * y[A_coo.rows]
+    return jnp.zeros((n_out,), g.dtype).at[A_coo.cols].add(g)
+
+
+def _spmm_t_local(A_coo: COO, Y, n_out: int):
+    g = A_coo.vals[:, None] * Y[A_coo.rows]
+    return jnp.zeros((n_out, Y.shape[1]), g.dtype).at[A_coo.cols].add(g)
+
+
+def _ring_perm(axis: str):
+    n = jax.lax.axis_size(axis)
+    return [(i, (i - 1) % n) for i in range(n)]
+
+
+def _pvary(x, axis: str):
+    """Mark ``x`` as device-varying over ``axis`` (scan carries inside
+    shard_map must have uniform varying-manual-axes types)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis,), to="varying")
+    if hasattr(jax.lax, "pvary"):  # pragma: no cover - older JAX
+        return jax.lax.pvary(x, (axis,))
+    return x  # pragma: no cover - ancient JAX: vma types don't exist
+
+
+def pspmv(Ap: RowPartitioned, x, mesh: Mesh, *, schedule: str = "allgather", axis: str = "rows"):
+    """Distributed ``y = A @ x``.
+
+    ``x``: f[ncol] replicated or sharded; returns y sharded over rows
+    (padded extent P·row_block; `unpad_result` trims). Must be called under
+    a mesh context or with sharded inputs created by `shard_partitioned`.
+    """
+    xp = pad_operand(x, Ap, "cols")
+    if schedule == "allgather":
+
+        def body(local, xs):
+            A = _local(local)
+            x_full = jax.lax.all_gather(xs, axis, tiled=True)
+            return _spmv_local(A, x_full, Ap.row_block)
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(_specs_of(Ap.local, axis), P(axis)),
+            out_specs=P(axis),
+        )(Ap.local, xp)
+
+    if schedule == "ring":
+        if Ap.blocks is None:
+            raise ValueError("partition built with build_blocks=False")
+        nsh = Ap.n_shards
+
+        def body(blocks, xs):
+            me = jax.lax.axis_index(axis)
+
+            def step(carry, s):
+                buf, y = carry
+                q = (me + s) % nsh
+                Ablk = _take_block(blocks, q)
+                y = y + _spmv_local(Ablk, buf, Ap.row_block)
+                buf = jax.lax.ppermute(buf, axis, _ring_perm(axis))
+                return (buf, y), None
+
+            y0 = _pvary(jnp.zeros((Ap.row_block,), xs.dtype), axis)
+            (_, y), _ = jax.lax.scan(
+                step, (xs, y0), jnp.arange(nsh, dtype=jnp.int32)
+            )
+            return y
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(_specs_of(Ap.blocks, axis), P(axis)),
+            out_specs=P(axis),
+        )(Ap.blocks, xp)
+
+    raise ValueError(f"unknown schedule {schedule!r}")
+
+
+def pspmm(Ap: RowPartitioned, X, mesh: Mesh, *, schedule: str = "allgather", axis: str = "rows"):
+    """Distributed ``Y = A @ X`` (X sharded over its row dim)."""
+    Xp = pad_operand(X, Ap, "cols")
+    if schedule == "allgather":
+
+        def body(local, Xs):
+            A = _local(local)
+            X_full = jax.lax.all_gather(Xs, axis, tiled=True)
+            return _spmm_local(A, X_full, Ap.row_block)
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(_specs_of(Ap.local, axis), P(axis)),
+            out_specs=P(axis),
+        )(Ap.local, Xp)
+
+    if schedule == "ring":
+        if Ap.blocks is None:
+            raise ValueError("partition built with build_blocks=False")
+        nsh = Ap.n_shards
+
+        def body(blocks, Xs):
+            me = jax.lax.axis_index(axis)
+
+            def step(carry, s):
+                buf, Y = carry
+                q = (me + s) % nsh
+                Ablk = _take_block(blocks, q)
+                Y = Y + _spmm_local(Ablk, buf, Ap.row_block)
+                buf = jax.lax.ppermute(buf, axis, _ring_perm(axis))
+                return (buf, Y), None
+
+            Y0 = _pvary(jnp.zeros((Ap.row_block, Xs.shape[1]), Xs.dtype), axis)
+            (_, Y), _ = jax.lax.scan(
+                step, (Xs, Y0), jnp.arange(nsh, dtype=jnp.int32)
+            )
+            return Y
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(_specs_of(Ap.blocks, axis), P(axis)),
+            out_specs=P(axis),
+        )(Ap.blocks, Xp)
+
+    raise ValueError(f"unknown schedule {schedule!r}")
+
+
+def pnormal_mv(Ap: RowPartitioned, x, mesh: Mesh, reg: float = 0.0, *, axis: str = "rows"):
+    """Distributed ``(AᵀA + reg·I) x``: all-gather x → local A·x →
+    local Aᵀ·(tmp) partials → reduce-scatter (psum_scatter)."""
+    xp = pad_operand(x, Ap, "cols")
+    def body(local, xs):
+        A = _local(local)
+        x_full = jax.lax.all_gather(xs, axis, tiled=True)
+        tmp = _spmv_local(A, x_full, Ap.row_block)  # local rows
+        part = _spmv_t_local(A, tmp, Ap.n_shards * Ap.col_block)
+        out = jax.lax.psum_scatter(part, axis, scatter_dimension=0, tiled=True)
+        return out + reg * xs
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(_specs_of(Ap.local, axis), P(axis)),
+        out_specs=P(axis),
+    )(Ap.local, xp)
+
+
+def pnormal_mm(Ap: RowPartitioned, X, mesh: Mesh, reg: float = 0.0, *, axis: str = "rows"):
+    """Distributed ``(AᵀA + reg·I) X`` — multi-RHS variant."""
+    Xp = pad_operand(X, Ap, "cols")
+    def body(local, Xs):
+        A = _local(local)
+        X_full = jax.lax.all_gather(Xs, axis, tiled=True)
+        tmp = _spmm_local(A, X_full, Ap.row_block)
+        part = _spmm_t_local(A, tmp, Ap.n_shards * Ap.col_block)
+        out = jax.lax.psum_scatter(part, axis, scatter_dimension=0, tiled=True)
+        return out + reg * Xs
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(_specs_of(Ap.local, axis), P(axis)),
+        out_specs=P(axis),
+    )(Ap.local, Xp)
+
+
+def _specs_of(tree, axis: str):
+    """in_specs pytree: shard every leaf's leading axis over ``axis``."""
+    return jax.tree.map(
+        lambda a: P(axis, *([None] * (a.ndim - 1))), tree
+    )
+

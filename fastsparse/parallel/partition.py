@@ -1,0 +1,176 @@
+"""Row partitioning of sparse matrices across a device mesh.
+
+TPU-native equivalent of the reference's row-block ownership (``BlockedSBM``,
+SURVEY.md §2 R6, §3.4): rows are split into ``P`` contiguous blocks, one per
+device along the mesh's row axis; only the dense operand ever moves
+(BASELINE.json:5, :11 — "matrices row/block-partitioned across hosts, halo
+segments of x exchanged via all-gather/all-to-all collectives").
+
+SPMD needs *uniform* local shapes, so every shard's local format is padded
+to common capacities and stacked along a leading device axis; inside
+`shard_map` the leading axis is sliced away and the local pytree is a plain
+single-device format (see `parallel.ops`).
+
+Two layouts are built:
+
+* ``local``  — each shard's rows as one local matrix over the full column
+  range (used by the all-gather schedule);
+* ``blocks`` — each shard's rows further split into ``P`` column blocks, one
+  per source shard (used by the ring schedule: at ring step ``s`` the shard
+  holds the x-block of source ``(me + s) mod P`` and multiplies the matching
+  column block — compute overlapped with the next `ppermute`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT, Config
+from ..formats.coo import COO, BinaryCOO, COO as _COO
+from ..formats.csr import CSR, BinaryCSR
+from ..utils.pytree import pytree_dataclass, static_field
+
+__all__ = ["RowPartitioned", "partition_rows"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@pytree_dataclass
+class RowPartitioned:
+    """A matrix row-partitioned into ``P`` shards (stacked leading axis).
+
+    ``local``: COO pytree with arrays of shape ``(P, cap…)`` — shard p's
+    rows (local row ids) over the full padded column range.
+    ``blocks``: COO pytree with arrays of shape ``(P, P, capb…)`` — shard
+    p's rows × source-shard q's columns (both ids local). May be None.
+    Padding entries carry zero values, so no validity mask is needed.
+    """
+
+    local: COO
+    blocks: Optional[COO]
+    shape: tuple = static_field()  # global (nrow, ncol)
+    n_shards: int = static_field()
+    row_block: int = static_field()  # rows per shard (padded)
+    col_block: int = static_field()  # cols per source block (padded)
+
+
+def _to_host_coo(mat, dtype):
+    """Any supported input -> (rows, cols, vals) np arrays + shape."""
+    if hasattr(mat, "tocoo") and not isinstance(
+        mat, (COO, BinaryCOO, CSR, BinaryCSR)
+    ):
+        m = mat.tocoo()
+        vals = m.data if dtype is None else m.data.astype(dtype)
+        return (
+            m.row.astype(np.int64),
+            m.col.astype(np.int64),
+            vals,
+            tuple(m.shape),
+        )
+    if isinstance(mat, (CSR, BinaryCSR)):
+        mat = mat.to_coo()
+    rows = np.asarray(mat.rows)[: mat.n_valid].astype(np.int64)
+    cols = np.asarray(mat.cols)[: mat.n_valid].astype(np.int64)
+    if isinstance(mat, BinaryCOO):
+        vals = np.ones(rows.shape[0], dtype or np.float32)
+    else:
+        vals = np.asarray(mat.vals)[: mat.n_valid]
+        if dtype is not None:
+            vals = vals.astype(dtype)
+    return rows, cols, vals, tuple(mat.shape)
+
+
+def _stack_padded(groups, row_block, col_block, cap, dtype):
+    """List of (rows, cols, vals) -> stacked int32/val arrays [G, cap]."""
+    G = len(groups)
+    R = np.zeros((G, cap), np.int32)
+    Cc = np.zeros((G, cap), np.int32)
+    V = np.zeros((G, cap), dtype)
+    for g, (r, c, v) in enumerate(groups):
+        n = r.shape[0]
+        R[g, :n] = r
+        Cc[g, :n] = c
+        V[g, :n] = v
+    return R, Cc, V
+
+
+def partition_rows(
+    mat,
+    n_shards: int,
+    config: Config = DEFAULT,
+    dtype=None,
+    build_blocks: bool = True,
+) -> RowPartitioned:
+    """Partition ``mat`` (scipy / COO / CSR) into ``n_shards`` row blocks.
+
+    Host-side compile step (it fixes static shard shapes), mirroring the
+    reference's ``new_bsbm`` block construction (SURVEY.md §2 R6). Values
+    are always materialized (binary inputs get unit values) so padding is
+    zero-valued and mask-free.
+    """
+    rows, cols, vals, shape = _to_host_coo(mat, dtype)
+    nrow, ncol = shape
+    P = int(n_shards)
+    vdtype = vals.dtype
+    row_block = _round_up(max(-(-nrow // P), 1), 8)
+    col_block = _round_up(max(-(-ncol // P), 1), 8)
+
+    owner = np.clip(rows // row_block, 0, P - 1)
+    local_groups = []
+    for p in range(P):
+        sel = owner == p
+        local_groups.append((rows[sel] - p * row_block, cols[sel], vals[sel]))
+    cap = max(max((g[0].shape[0] for g in local_groups), default=1), 1)
+    R, C, V = _stack_padded(local_groups, row_block, col_block, cap, vdtype)
+    local = COO(
+        rows=jnp.asarray(R),
+        cols=jnp.asarray(C),
+        vals=jnp.asarray(V),
+        shape=(row_block, P * col_block),
+        n_valid=cap,
+    )
+
+    blocks = None
+    if build_blocks:
+        block_groups = []  # [P][P] of (r, c, v)
+        capb = 1
+        for p in range(P):
+            r, c, v = local_groups[p]
+            src = np.clip(c // col_block, 0, P - 1)
+            row_blocks = []
+            for q in range(P):
+                sel = src == q
+                row_blocks.append((r[sel], c[sel] - q * col_block, v[sel]))
+                capb = max(capb, int(sel.sum()))
+            block_groups.append(row_blocks)
+        Rb = np.zeros((P, P, capb), np.int32)
+        Cb = np.zeros((P, P, capb), np.int32)
+        Vb = np.zeros((P, P, capb), vdtype)
+        for p in range(P):
+            for q in range(P):
+                r, c, v = block_groups[p][q]
+                n = r.shape[0]
+                Rb[p, q, :n] = r
+                Cb[p, q, :n] = c
+                Vb[p, q, :n] = v
+        blocks = COO(
+            rows=jnp.asarray(Rb),
+            cols=jnp.asarray(Cb),
+            vals=jnp.asarray(Vb),
+            shape=(row_block, col_block),
+            n_valid=capb,
+        )
+
+    return RowPartitioned(
+        local=local,
+        blocks=blocks,
+        shape=shape,
+        n_shards=P,
+        row_block=row_block,
+        col_block=col_block,
+    )

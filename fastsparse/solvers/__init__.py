@@ -1,1 +1,3 @@
-"""Factorization-workload solvers (CG on normal equations)."""
+from .cg import cg, cg_normal, CGResult
+
+__all__ = ["cg", "cg_normal", "CGResult"]

@@ -1,0 +1,124 @@
+"""Tiled-BSR format + Pallas kernel tests (interpret mode on CPU).
+
+Oracle: scipy (SURVEY.md §4.1). Round-trip: todense == scipy dense.
+Kernels: bsr_spmm / bsr_spmv vs dense matmul, both strategies, valued and
+binary-bitmask tiles, fp32 rtol 1e-6 (BASELINE.json:5).
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import conftest as C
+
+from fastsparse.formats.bsr import build_bsr, expand_bits_reference
+from fastsparse.formats.coo import binary_coo_from_scipy, coo_from_scipy
+from fastsparse.ops.bsr_ops import bsr_spmm, bsr_spmv
+from fastsparse.ops.pallas.bsr_spmm import bucket_spmm
+
+
+CASES = [
+    ("random", lambda: C.random_csr(200, 300, 0.05, seed=0, dtype=np.float32)),
+    ("powerlaw", lambda: C.powerlaw_csr(256, 192, 3000, seed=1, dtype=np.float32)),
+    ("tall", lambda: C.random_csr(1000, 40, 0.02, seed=2, dtype=np.float32)),
+    ("wide", lambda: C.random_csr(40, 1000, 0.02, seed=3, dtype=np.float32)),
+    ("empty", lambda: sp.csr_matrix((64, 64), dtype=np.float32)),
+]
+
+
+@pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
+def test_bsr_roundtrip_valued(name, make):
+    m = make()
+    A = build_bsr(coo_from_scipy(m, dtype=np.float32))
+    np.testing.assert_allclose(
+        np.asarray(A.todense()), m.toarray(), rtol=1e-6, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
+def test_bsr_roundtrip_binary(name, make):
+    m = make()
+    m.data[:] = 1.0
+    A = build_bsr(binary_coo_from_scipy(m))
+    assert A.binary
+    np.testing.assert_allclose(np.asarray(A.todense()), m.toarray(), atol=0)
+
+
+def test_expand_bits_layout():
+    rng = np.random.default_rng(0)
+    dense = (rng.random((8, 128)) < 0.3).astype(np.float32)
+    m = sp.csr_matrix(dense)
+    A = build_bsr(binary_coo_from_scipy(m))
+    (b,) = A.buckets
+    mask = np.asarray(expand_bits_reference(b.tiles, A.tile_k))[0, 0]
+    np.testing.assert_array_equal(mask, dense)
+
+
+@pytest.mark.parametrize("binary", [False, True], ids=["valued", "binary"])
+@pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
+def test_bsr_spmm_oracle(name, make, binary):
+    m = make()
+    if binary:
+        m.data[:] = 1.0
+        A = build_bsr(binary_coo_from_scipy(m))
+    else:
+        A = build_bsr(coo_from_scipy(m, dtype=np.float32))
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((m.shape[1], 48)).astype(np.float32)
+    Y = np.asarray(bsr_spmm(A, X))
+    np.testing.assert_allclose(Y, m @ X, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("strategy", ["resident", "streamed"])
+def test_bucket_spmm_strategies(strategy):
+    m = C.random_csr(128, 256, 0.1, seed=5, dtype=np.float32)
+    A = build_bsr(coo_from_scipy(m, dtype=np.float32))
+    rng = np.random.default_rng(9)
+    N = 128
+    X = rng.standard_normal((256, N)).astype(np.float32)
+    import jax.numpy as jnp
+
+    nsl = A.n_slabs
+    Xp = jnp.zeros((nsl * A.tile_k, N), jnp.float32).at[:256, :N].set(X)
+    ref = m @ X
+    got = np.zeros((A.n_strips * A.tile_m, N), np.float32)
+    for b in A.buckets:
+        Yb = np.asarray(
+            bucket_spmm(
+                b.slab_ids,
+                b.tiles,
+                Xp,
+                tile_m=A.tile_m,
+                tile_k=A.tile_k,
+                binary=False,
+                n_block=N,
+                strategy=strategy,
+            )
+        )
+        for s, sid in enumerate(np.asarray(b.strip_ids)):
+            if sid < A.n_strips:
+                got[sid * A.tile_m : (sid + 1) * A.tile_m] = Yb[
+                    s * A.tile_m : (s + 1) * A.tile_m
+                ]
+    np.testing.assert_allclose(got[:128], ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("binary", [False, True], ids=["valued", "binary"])
+def test_bsr_spmv_oracle(binary):
+    m = C.powerlaw_csr(300, 200, 4000, seed=11, dtype=np.float32)
+    if binary:
+        m.data[:] = 1.0
+        A = build_bsr(binary_coo_from_scipy(m))
+    else:
+        A = build_bsr(coo_from_scipy(m, dtype=np.float32))
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(200).astype(np.float32)
+    y = np.asarray(bsr_spmv(A, x))
+    np.testing.assert_allclose(y, m @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_bsr_metrics():
+    m = C.random_csr(256, 256, 0.05, seed=17, dtype=np.float32)
+    A = build_bsr(coo_from_scipy(m, dtype=np.float32))
+    assert A.nnz == m.nnz
+    assert 0 < A.tile_occupancy <= 1
+    assert A.padding_ratio >= 1

@@ -1,0 +1,95 @@
+"""Distributed layer tests on the 8-fake-CPU-device mesh (SURVEY.md §4.3).
+
+The real shard_map + collective code runs in one process; a pod run only
+changes the mesh constructor. Oracle: scipy on the global matrix.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import conftest as C
+
+from fastsparse.parallel import (
+    make_row_mesh,
+    pad_operand,
+    partition_rows,
+    pnormal_mm,
+    pnormal_mv,
+    pspmm,
+    pspmv,
+    shard_partitioned,
+    unpad_result,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_row_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def problem(mesh):
+    m = C.powerlaw_csr(800, 600, 9000, seed=3, dtype=np.float64)
+    Ap = shard_partitioned(partition_rows(m, 8), mesh)
+    return m, Ap
+
+
+def test_partition_roundtrip(problem):
+    m, Ap = problem
+    # every nonzero lands in exactly one shard with the right local ids
+    tot = int((np.asarray(Ap.local.vals) != 0).sum())
+    assert tot == (m.data != 0).sum()
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ring"])
+def test_pspmv(problem, mesh, schedule):
+    m, Ap = problem
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(m.shape[1])
+    y = jax.jit(lambda Ap, x: pspmv(Ap, x, mesh, schedule=schedule))(
+        Ap, jnp.asarray(x)
+    )
+    y = unpad_result(y, Ap, "rows")
+    np.testing.assert_allclose(np.asarray(y), m @ x, rtol=1e-10)
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ring"])
+def test_pspmm(problem, mesh, schedule):
+    m, Ap = problem
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((m.shape[1], 16))
+    Y = jax.jit(lambda Ap, X: pspmm(Ap, X, mesh, schedule=schedule))(
+        Ap, jnp.asarray(X)
+    )
+    Y = unpad_result(Y, Ap, "rows")
+    np.testing.assert_allclose(np.asarray(Y), m @ X, rtol=1e-10)
+
+
+def test_pnormal_mv(problem, mesh):
+    m, Ap = problem
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(m.shape[1])
+    out = jax.jit(lambda Ap, x: pnormal_mv(Ap, x, mesh, reg=0.5))(Ap, jnp.asarray(x))
+    out = unpad_result(out, Ap, "cols")
+    ref = m.T @ (m @ x) + 0.5 * x
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10)
+
+
+def test_pnormal_mm(problem, mesh):
+    m, Ap = problem
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((m.shape[1], 8))
+    out = jax.jit(lambda Ap, X: pnormal_mm(Ap, X, mesh, reg=0.25))(Ap, jnp.asarray(X))
+    out = unpad_result(out, Ap, "cols")
+    ref = m.T @ (m @ X) + 0.25 * X
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10)
+
+
+def test_binary_input(mesh):
+    m = C.random_csr(200, 160, 0.05, seed=5, binary=True)
+    Ap = shard_partitioned(partition_rows(m, 8), mesh)
+    x = np.random.default_rng(4).standard_normal(160)
+    y = jax.jit(lambda Ap, x: pspmv(Ap, x, mesh))(Ap, jnp.asarray(x))
+    y = unpad_result(y, Ap, "rows")
+    np.testing.assert_allclose(np.asarray(y), m @ x, rtol=1e-10)

@@ -1,0 +1,67 @@
+"""SpGEMM tests vs scipy (BASELINE.json:10 capability)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import conftest as C
+
+from fastsparse.ops.spgemm import spgemm, spgemm_info
+
+
+CASES = [
+    (
+        "random",
+        lambda: (
+            C.random_csr(120, 90, 0.06, seed=0, dtype=np.float32),
+            C.random_csr(90, 150, 0.06, seed=1, dtype=np.float32),
+        ),
+    ),
+    (
+        "powerlaw",
+        lambda: (
+            C.powerlaw_csr(200, 160, 2500, seed=2, dtype=np.float32),
+            C.powerlaw_csr(160, 140, 2500, seed=3, dtype=np.float32),
+        ),
+    ),
+    (
+        "square",
+        lambda: (
+            C.random_csr(128, 128, 0.05, seed=4, dtype=np.float32),
+            C.random_csr(128, 128, 0.05, seed=5, dtype=np.float32),
+        ),
+    ),
+    (
+        "empty",
+        lambda: (
+            sp.csr_matrix((64, 32), dtype=np.float32),
+            sp.csr_matrix((32, 48), dtype=np.float32),
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
+def test_spgemm_oracle(name, make):
+    A, B = make()
+    C_out, info = spgemm(A, B)
+    ref = (A @ B).toarray()
+    got = np.asarray(C_out.todense())
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    assert info["nnz"] == int((np.abs(ref) > 0).sum())
+    assert info["est_nnz"] >= info["nnz"]
+
+
+def test_estimation_is_fused_upper_bound():
+    A = C.random_csr(100, 80, 0.05, seed=7, dtype=np.float32)
+    B = C.random_csr(80, 100, 0.05, seed=8, dtype=np.float32)
+    info = spgemm_info(A, B)
+    exact = (A @ B).nnz
+    assert info["est_nnz"] >= exact
+    assert info["n_pairs"] > 0
+
+
+def test_mismatched_dims():
+    A = C.random_csr(10, 20, 0.1, seed=9)
+    B = C.random_csr(30, 10, 0.1, seed=10)
+    with pytest.raises(ValueError):
+        spgemm(A, B)

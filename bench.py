@@ -38,23 +38,22 @@ def main():
     m = m.tocsr()
     nnz = int(m.nnz)
 
-    op = fs.operator(m, format="bsr", transpose=False, reorder="degree")
+    # hypersparse structure -> the ELL gather engine; coarse bucket widths
+    # bound the compiled-program count (remote compiles are slow).
+    cfg = fs.Config(ell_bucket_widths=(8, 32, 128, 512, 2048, 8192))
+    op = fs.operator(m, transpose=False, reorder="degree", config=cfg)
     X = jnp.asarray(rng.standard_normal((ncol, n_rhs)), jnp.float32)
+
+    from fastsparse.bench.timing import time_fn
 
     step = jax.jit(lambda op, X: op.matmat(X))
     Y = step(op, X)
-    jax.block_until_ready(Y)
     # correctness spot check on a slice
     ref = m[:256] @ np.asarray(X)
     err = float(np.abs(np.asarray(Y)[:256] - ref).max())
     assert err < 1e-2 * max(float(np.abs(ref).max()), 1.0), f"wrong result: {err}"
 
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        Y = step(op, X)
-    jax.block_until_ready(Y)
-    dt = (time.perf_counter() - t0) / reps
+    dt = time_fn(step, op, X, reps=20)
 
     bw = measure_hbm_bw()
     sol = spmm_sol_seconds(nrow, ncol, nnz, n_rhs, bw, binary=True)

@@ -11,7 +11,7 @@ from .config import Config, DEFAULT, LANES
 from .formats.coo import COO, BinaryCOO, coo_from_scipy, binary_coo_from_scipy
 from .formats.csr import CSR, BinaryCSR, csr_from_scipy, binary_csr_from_scipy
 from .formats.convert import to_csr, to_coo, transpose_coo
-from .formats.ell import EllMatrix, build_ell
+from .formats.ell import EllMatrix, SegmentedEll, build_ell, build_ell_segmented
 from .formats.bsr import BsrMatrix, build_bsr
 from .linops import SparseOperator, operator
 from .reorder.sort import sort_coo, ORDERINGS
@@ -37,6 +37,8 @@ __all__ = [
     "CSR",
     "BinaryCSR",
     "EllMatrix",
+    "SegmentedEll",
+    "build_ell_segmented",
     "BsrMatrix",
     "build_bsr",
     "SparseOperator",

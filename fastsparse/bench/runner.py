@@ -1,6 +1,6 @@
 """Benchmark suite runner (SURVEY.md §2.2 N6, §5.1).
 
-Times jitted kernels with `block_until_ready`, reports nnz/s, GFLOP/s and
+Times jitted kernels with forced value fetches (`bench.timing`), reports nnz/s, GFLOP/s and
 the speed-of-light fraction from the measured HBM bandwidth (`bench.sol`).
 Used by the repo-root ``bench.py`` (driver headline) and usable standalone:
 
@@ -8,25 +8,13 @@ Used by the repo-root ``bench.py`` (driver headline) and usable standalone:
 """
 from __future__ import annotations
 
-import time
-from typing import Any, Callable, Dict, List
+from typing import Any, Dict, List
 
 import jax
 
+from .timing import time_fn
+
 __all__ = ["time_fn", "run_suite"]
-
-
-def time_fn(fn: Callable, *args, reps: int = 20, warmup: int = 2) -> float:
-    """Median-free simple timer: mean seconds per call after warmup."""
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
 
 
 def run_suite(sizes=((16_384, 1_000_000),), n_rhs: int = 128) -> List[Dict[str, Any]]:

@@ -4,25 +4,20 @@ Never hardcode bandwidth — compute it from the measured chip.
 """
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
+
+from .timing import time_chain
 
 __all__ = ["measure_hbm_bw", "spmm_sol_seconds", "spmv_sol_seconds"]
 
 
 def measure_hbm_bw(nbytes: int = 256 * 1024 * 1024, reps: int = 10) -> float:
-    """Effective HBM bandwidth (bytes/s) via a jitted copy (read + write)."""
+    """Effective HBM bandwidth (bytes/s) via a chained jitted copy."""
     n = nbytes // 4
     x = jnp.arange(n, dtype=jnp.float32)
     f = jax.jit(lambda x: x + 1.0)
-    jax.block_until_ready(f(x))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x = f(x)
-    jax.block_until_ready(x)
-    dt = (time.perf_counter() - t0) / reps
+    dt = time_chain(f, x, reps=reps)
     return 2 * nbytes / dt  # one read + one write per element
 
 

@@ -212,7 +212,6 @@ def build_bsr(mat, config: Config = DEFAULT, dtype=None, binary=None) -> BsrMatr
         T_of_strip[tiles_per_strip <= w] = w
     T_of_strip[tiles_per_strip == 0] = 0
 
-    sublanes = 8
     buckets_meta = []  # (T, strips_in_bucket, ns_padded, flat_tile_base)
     tile_base_of_strip = np.zeros(n_strips, np.int64)
     flat_tiles = 0
@@ -220,7 +219,8 @@ def build_bsr(mat, config: Config = DEFAULT, dtype=None, binary=None) -> BsrMatr
         strips_b = np.nonzero(T_of_strip == w)[0]
         if strips_b.size == 0:
             continue
-        ns = _round_up(strips_b.size, sublanes)
+        # power-of-two ns: bounded program-shape set (compile-cache reuse)
+        ns = _ceil_pow2(max(strips_b.size, 8))
         buckets_meta.append((w, strips_b, ns, flat_tiles))
         tile_base_of_strip[strips_b] = flat_tiles + np.arange(strips_b.size) * w
         flat_tiles += ns * w

@@ -133,6 +133,21 @@ class BinaryCOO:
             n_valid = int(rows.shape[0])
         return cls(rows=rows, cols=cols, shape=tuple(shape), n_valid=n_valid)
 
+    def pad_to(self, nnz_cap: int) -> "BinaryCOO":
+        """Grow capacity to ``nnz_cap`` with masked padding entries."""
+        cur = self.nnz_cap
+        if nnz_cap < cur:
+            raise ValueError(f"cannot shrink capacity {cur} -> {nnz_cap}")
+        if nnz_cap == cur:
+            return self
+        zi = jnp.zeros((nnz_cap - cur,), jnp.int32)
+        return BinaryCOO(
+            rows=jnp.concatenate([self.rows, zi]),
+            cols=jnp.concatenate([self.cols, zi]),
+            shape=self.shape,
+            n_valid=self.n_valid,
+        )
+
     def valid_mask(self) -> jax.Array:
         return (
             jnp.arange(self.nnz_cap, dtype=jnp.int32)

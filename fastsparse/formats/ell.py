@@ -36,7 +36,7 @@ from .coo import BinaryCOO
 from .convert import to_csr
 from .csr import CSR, BinaryCSR
 
-__all__ = ["EllBucket", "EllMatrix", "build_ell"]
+__all__ = ["EllBucket", "EllMatrix", "SegmentedEll", "build_ell", "build_ell_segmented"]
 
 
 def _ceil_pow2(x: int) -> int:
@@ -85,6 +85,37 @@ class EllMatrix:
         return out
 
 
+@pytree_dataclass
+class SegmentedEll:
+    """Column-segmented ELL: one EllMatrix per column range.
+
+    Built so the gather engine (`ops.pallas.ell_spmm`) can keep each
+    segment's X panel fully VMEM-resident at full 128-lane width. Row ids
+    inside segments are global; column ids are segment-local.
+    """
+
+    segments: Tuple[EllMatrix, ...]
+    col_offsets: tuple = static_field()  # start column of each segment
+    seg_cols: int = static_field()  # columns per segment (last may be short)
+    shape: tuple = static_field()
+    nnz: int = static_field()
+
+    @property
+    def padded_nnz(self) -> int:
+        return sum(s.padded_nnz for s in self.segments)
+
+    @property
+    def padding_ratio(self) -> float:
+        return self.padded_nnz / max(self.nnz, 1)
+
+    def todense(self) -> jax.Array:
+        out = jnp.zeros(self.shape, jnp.float32)
+        for off, seg in zip(self.col_offsets, self.segments):
+            dense = seg.todense()
+            out = out.at[:, off : off + dense.shape[1]].add(dense)
+        return out
+
+
 @jax.jit
 def _fill_flat(flat_size_arr, slot_of_entry, cols, vals, valid):
     """One-pass device scatter of every entry into the concatenated buckets."""
@@ -130,7 +161,6 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
         width_of_row[counts <= w] = w
     width_of_row[counts == 0] = 0  # empty rows stored nowhere
 
-    sublanes = 8  # pad nb so bucket slabs are sublane-aligned
     buckets_meta = []  # (width, rows_in_bucket, nb_padded, flat_base)
     flat_base = 0
     loc_of_row = np.zeros(nrow, np.int64)  # local slot within its bucket
@@ -140,7 +170,10 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
         rows_b = np.nonzero(width_of_row == w)[0]
         if rows_b.size == 0:
             continue
-        nb = _round_up(rows_b.size, sublanes)
+        # nb rounded to a power of two (>= 8): bounds the set of compiled
+        # program shapes across matrices (compile reuse via the persistent
+        # cache); padding rows carry zero values.
+        nb = _ceil_pow2(max(rows_b.size, 8))
         buckets_meta.append((w, rows_b, nb, flat_base))
         loc_of_row[rows_b] = np.arange(rows_b.size)
         base_of_row[rows_b] = flat_base
@@ -188,4 +221,54 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
         shape=(nrow, ncol),
         nnz=csr.n_valid,
         padded_nnz=padded,
+    )
+
+
+def build_ell_segmented(
+    mat, config: Config = DEFAULT, seg_cols: int = 16384, dtype=None
+) -> SegmentedEll:
+    """Compile into column-segmented bucketed ELL (gather-engine format).
+
+    ``seg_cols`` bounds each segment's X-panel height so a (seg_cols, 128)
+    f32 panel (8 MB at 16k) stays VMEM-resident in the gather kernel.
+    """
+    from .coo import BinaryCOO, COO
+
+    if isinstance(mat, (CSR, BinaryCSR)):
+        mat = mat.to_coo()
+    nrow, ncol = mat.shape
+    rows = np.asarray(mat.rows)[: mat.n_valid]
+    cols = np.asarray(mat.cols)[: mat.n_valid]
+    if isinstance(mat, BinaryCOO):
+        vals = np.ones(rows.shape[0], np.float32)
+    else:
+        vals = np.asarray(mat.vals)[: mat.n_valid]
+        if dtype is not None:
+            vals = vals.astype(dtype)
+    nseg = max(-(-ncol // seg_cols), 1)
+    segments = []
+    offsets = []
+    # Common power-of-two entry capacity across segments: the on-device
+    # sort in to_csr then compiles ONCE for all segments (remote sort
+    # compiles are 45-95 s each — CLAUDE.md).
+    seg_sizes = [
+        int(((cols >= si * seg_cols) & (cols < (si + 1) * seg_cols)).sum())
+        for si in range(nseg)
+    ]
+    cap = _ceil_pow2(max(max(seg_sizes), 1))
+    for si in range(nseg):
+        lo = si * seg_cols
+        hi = min(lo + seg_cols, ncol)
+        sel = (cols >= lo) & (cols < hi)
+        seg_coo = COO.from_arrays(
+            rows[sel], cols[sel] - lo, vals[sel], (nrow, hi - lo)
+        ).pad_to(cap)
+        segments.append(build_ell(seg_coo, config=config))
+        offsets.append(lo)
+    return SegmentedEll(
+        segments=tuple(segments),
+        col_offsets=tuple(offsets),
+        seg_cols=seg_cols,
+        shape=(nrow, ncol),
+        nnz=int(rows.shape[0]),
     )

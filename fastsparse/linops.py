@@ -21,7 +21,7 @@ from .formats.bsr import BsrMatrix, build_bsr
 from .formats.convert import to_coo, transpose_coo
 from .formats.coo import COO, BinaryCOO
 from .formats.csr import CSR, BinaryCSR
-from .formats.ell import EllMatrix, build_ell
+from .formats.ell import EllMatrix, SegmentedEll, build_ell, build_ell_segmented
 from .ops import spmm as _spmm_mod
 from .ops import spmv as _spmv_mod
 from .utils.pytree import pytree_dataclass, static_field
@@ -118,14 +118,43 @@ class SparseOperator:
         return self.matvec(other) if other.ndim == 1 else self.matmat(other)
 
 
-_FORMATS = ("auto", "bsr", "ell", "coo", "csr")
+_FORMATS = ("auto", "bsr", "ell", "ell-seg", "coo", "csr")
+
+# X panels above this column count get segmented so the gather engine can
+# keep each segment VMEM-resident at full lane width.
+SEG_COLS = 16384
+# Tiles emptier than this run faster on the gather engine than on the MXU
+# tile path (BSR per-tile cost ~50 ns vs ~1.5 ns per ELL slot).
+BSR_OCCUPANCY_THRESHOLD = 0.02
+
+
+def tile_occupancy_estimate(coo, config: Config = DEFAULT) -> float:
+    """nnz / (occupied tiles × tile area), computed host-side."""
+    import numpy as np
+
+    rows = np.asarray(coo.rows)[: coo.n_valid]
+    cols = np.asarray(coo.cols)[: coo.n_valid]
+    if rows.size == 0:
+        return 0.0
+    n_slabs = max(-(-coo.shape[1] // config.tile_k), 1)
+    pair = (rows // config.tile_m) * n_slabs + cols // config.tile_k
+    ntiles = np.unique(pair).size
+    return rows.size / (ntiles * config.tile_m * config.tile_k)
 
 
 def _compile_one(coo, fmt: str, config: Config, dtype):
     if fmt == "bsr":
         return build_bsr(coo, config=config, dtype=dtype)
     if fmt == "ell":
+        if coo.shape[1] > SEG_COLS:
+            return build_ell_segmented(
+                coo, config=config, seg_cols=SEG_COLS, dtype=dtype
+            )
         return build_ell(coo, config=config, dtype=dtype)
+    if fmt == "ell-seg":
+        return build_ell_segmented(
+            coo, config=config, seg_cols=SEG_COLS, dtype=dtype
+        )
     if fmt == "csr":
         from .formats.convert import to_csr
 
@@ -172,7 +201,21 @@ def operator(
         vdtype = jnp.float32 if is_binary else coo.vals.dtype
         if dtype is not None:
             vdtype = jnp.dtype(dtype)
-        format = "bsr" if vdtype in (jnp.float32, jnp.bfloat16) else "ell"
+        if vdtype in (jnp.float32, jnp.bfloat16):
+            # MXU tile path only pays off when tiles are reasonably full;
+            # hypersparse structure runs the gather engine instead.
+            occ = tile_occupancy_estimate(coo, config)
+            format = "bsr" if occ >= BSR_OCCUPANCY_THRESHOLD else "ell"
+        else:
+            format = "ell"
+
+    # Power-of-two entry capacity: bounded jit shapes for the on-device
+    # sort/conversion programs (compile-cache reuse across matrices).
+    def _pow2(x):
+        return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
+
+    if hasattr(coo, "pad_to") and coo.nnz_cap != _pow2(coo.nnz_cap):
+        coo = coo.pad_to(_pow2(coo.nnz_cap))
 
     row_perm = col_perm = row_inv = col_inv = None
     if reorder == "degree":

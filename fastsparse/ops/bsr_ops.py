@@ -66,7 +66,9 @@ def pallas_supported(dtype) -> bool:
     return jnp.dtype(dtype) in (jnp.dtype(d) for d in _PALLAS_DTYPES)
 
 
-def bsr_spmm(A: BsrMatrix, X, *, n_block: int | None = None) -> jax.Array:
+def bsr_spmm(
+    A: BsrMatrix, X, *, n_block: int | None = None, precision: str = "highest"
+) -> jax.Array:
     """``Y = A @ X`` via the Pallas tile kernels. X: dtype[ncol, N]."""
     X = jnp.asarray(X)
     nrow, ncol = A.shape
@@ -102,6 +104,7 @@ def bsr_spmm(A: BsrMatrix, X, *, n_block: int | None = None) -> jax.Array:
                 binary=A.binary,
                 n_block=n_block,
                 strategy=strategy,
+                precision=precision,
             )
             ns_c = slab_ids.shape[0]
             Y = Y.at[strip_ids].set(Yb.reshape(ns_c, TM, Npad))

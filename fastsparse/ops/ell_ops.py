@@ -1,0 +1,92 @@
+"""ELL gather-engine dispatch: SpMM over bucketed / segmented ELL.
+
+Bridges `formats.ell` to the Pallas gather kernel
+(`ops.pallas.ell_spmm`): pads operands, chunks buckets to the SMEM
+scalar-prefetch budget, scatters per-bucket row outputs into Y, and
+accumulates column segments. Falls back to the XLA engines off-TPU dtypes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.ell import EllMatrix, SegmentedEll
+from .pallas.ell_spmm import ELL_GROUP, ell_bucket_spmm
+
+__all__ = ["ell_spmm", "gather_engine_supported", "gather_engine_fits"]
+
+LANES = 128
+_SMEM_IDX_BUDGET = 32 * 1024  # flat entries per call (cols + vals in SMEM)
+X_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def gather_engine_supported(dtype) -> bool:
+    return jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+
+
+def gather_engine_fits(ncol: int, n_rhs: int, itemsize: int = 4) -> bool:
+    """Does the X panel stay VMEM-resident at this width?"""
+    nb = min(_round_up(max(n_rhs, 1), LANES), 512)
+    return _round_up(max(ncol, 8), 8) * nb * itemsize <= X_VMEM_BUDGET
+
+
+def _bucket_chunks(b):
+    """Fixed-nb chunks of a bucket whose flat cols fit the SMEM budget."""
+    nb, K = b.cols.shape
+    nb_max = max(ELL_GROUP, (_SMEM_IDX_BUDGET // max(K, 1)) // 8 * 8)
+    if nb <= nb_max:
+        yield b.row_ids, b.cols, b.vals
+        return
+    for s0 in range(0, nb, nb_max):
+        s1 = min(s0 + nb_max, nb)
+        rid, cc, vv = b.row_ids[s0:s1], b.cols[s0:s1], b.vals[s0:s1]
+        if s1 - s0 < nb_max:
+            pad = nb_max - (s1 - s0)
+            rid = jnp.concatenate([rid, jnp.zeros((pad,), rid.dtype)])
+            cc = jnp.concatenate([cc, jnp.zeros((pad, K), cc.dtype)])
+            vv = jnp.concatenate([vv, jnp.zeros((pad, K), vv.dtype)])
+        yield rid, cc, vv
+
+
+def _seg_spmm(ell: EllMatrix, Xseg, Y, n_block: int):
+    """Accumulate one segment's product into Y f32[nrow, Npad]."""
+    for b in ell.buckets:
+        for row_ids, cols, vals in _bucket_chunks(b):
+            Yb = ell_bucket_spmm(cols, vals, Xseg, n_block=n_block)
+            # padding chunk rows have row_id 0 and zero vals -> add is no-op
+            Y = Y.at[row_ids].add(Yb)
+    return Y
+
+
+def ell_spmm(A, X, *, n_block: int | None = None) -> jax.Array:
+    """``Y = A @ X`` through the Pallas gather engine.
+
+    A: EllMatrix or SegmentedEll (f32). X: f32[ncol, N].
+    """
+    X = jnp.asarray(X)
+    nrow, ncol = A.shape
+    N = X.shape[1]
+    if n_block is None:
+        n_block = min(_round_up(N, LANES), 512)
+    Npad = _round_up(N, n_block)
+
+    segs = (
+        list(zip(A.col_offsets, A.segments))
+        if isinstance(A, SegmentedEll)
+        else [(0, A)]
+    )
+    Y = jnp.zeros((nrow, Npad), jnp.float32)
+    for off, seg in segs:
+        seg_ncol = seg.shape[1]
+        rows_pad = _round_up(max(seg_ncol, 8), 8)
+        Xseg = (
+            jnp.zeros((rows_pad, Npad), jnp.float32)
+            .at[:seg_ncol, :N]
+            .set(X[off : off + seg_ncol])
+        )
+        Y = _seg_spmm(seg, Xseg, Y, n_block)
+    return Y[:, :N]

@@ -52,29 +52,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _expand_bits(words, tile_k: int, dtype):
-    """uint32 (TM, W) -> 0/1 mask (TM, TK), word-major bit layout.
+    """uint32 (..., TM, W) -> 0/1 mask (..., TM, TK), word-major layout.
 
     Bit for tile-column ``c`` is word ``c % W``, position ``c // W``
-    (matches `formats.bsr.build_bsr`). Uses the lane-dim gather that Mosaic
-    supports (`take_along_axis` axis=1).
+    (matches `formats.bsr.build_bsr`). Lane-concat of 32 copies gives
+    ``rep[..., c] == words[..., c % W]`` with no gather; expanding a whole
+    multi-tile block in ONE call amortizes the VPU op overhead (per-tile
+    expansion measured ~80 ns/tile; batched it is ~constant per block).
     """
-    TM = words.shape[0]
     W = tile_k // 32
-    # Lane-concat of 32 copies: rep[:, c] == words[:, c % W] — the word-major
-    # expansion with no gather (Mosaic-friendly).
-    rep = jnp.concatenate([words] * 32, axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (TM, tile_k), 1)
+    rep = jnp.concatenate([words] * 32, axis=-1)
+    shape = rep.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
     bit = (col // W).astype(jnp.uint32)
     on = ((rep >> bit) & jnp.uint32(1)) != 0
     # jnp.where, not astype: Mosaic has no uint32 -> float cast
     return jnp.where(on, jnp.ones((), dtype), jnp.zeros((), dtype))
 
 
-def _tile_mat(tile, binary: bool, tile_k: int, dtype):
-    """(TM, ·) stored tile -> (TM, TK) matrix for the MXU."""
+def _block_mats(tiles_block, binary: bool, tile_k: int, dtype):
+    """Whole (..., TM, W|TK) tile block -> (..., TM, TK) matrices."""
     if binary:
-        return _expand_bits(tile, tile_k, dtype)
-    return tile
+        return _expand_bits(tiles_block, tile_k, dtype)
+    return tiles_block
 
 
 # ---------------------------------------------------------------------------
@@ -86,7 +86,7 @@ _SG = 8  # strips per grid step — amortizes grid overhead, >= 8 sublanes
 _TB = 4  # tiles per grid step per strip — batches tile DMAs
 
 
-def _spmm_resident_body(binary, TK, TM, SG, TB, slab_ref, tiles_ref, x_ref, o_ref):
+def _spmm_resident_body(binary, TK, TM, SG, TB, T, prec, slab_ref, tiles_ref, x_ref, o_ref):
     i = pl.program_id(1)
     t = pl.program_id(2)
 
@@ -95,39 +95,42 @@ def _spmm_resident_body(binary, TK, TM, SG, TB, slab_ref, tiles_ref, x_ref, o_re
         o_ref[:] = jnp.zeros_like(o_ref)
 
     # SG×TB tiles per step: unrolled — every trip is a dense MXU contraction.
+    # slab_ref is FLAT (ns*T,) in SMEM: 2-D SMEM arrays lane-pad the minor
+    # dim to 128 and blow the 1 MB budget.
+    mats = _block_mats(tiles_ref[:], binary, TK, o_ref.dtype)
     for g in range(SG):
         acc = None
         for u in range(TB):
-            slab = slab_ref[i * SG + g, t * TB + u]
+            slab = slab_ref[(i * SG + g) * T + t * TB + u]
             xs = x_ref[pl.ds(slab * TK, TK), :]
-            a = _tile_mat(tiles_ref[g, u], binary, TK, xs.dtype)
             # HIGHEST: f32 operands must not fall to one-pass bf16 on the
             # MXU (fp32 parity is rtol 1e-6 — BASELINE.json:5).
             d = jnp.dot(
-                a, xs, preferred_element_type=o_ref.dtype,
-                precision=jax.lax.Precision.HIGHEST,
+                mats[g, u], xs, preferred_element_type=o_ref.dtype,
+                precision=prec,
             )
             acc = d if acc is None else acc + d
         o_ref[pl.ds(g * TM, TM), :] += acc
 
 
-def _spmm_streamed_body(binary, TK, slab_ref, tiles_ref, x_ref, o_ref):
+def _spmm_streamed_body(binary, TK, prec, slab_ref, tiles_ref, x_ref, o_ref):
     t = pl.program_id(2)
 
     @pl.when(t == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    a = _tile_mat(tiles_ref[0, 0], binary, TK, x_ref.dtype)
+    a = _block_mats(tiles_ref[0, 0], binary, TK, x_ref.dtype)
     o_ref[:] += jnp.dot(
-        a, x_ref[:], preferred_element_type=o_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        a, x_ref[:], preferred_element_type=o_ref.dtype, precision=prec
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_m", "tile_k", "binary", "n_block", "strategy"),
+    static_argnames=(
+        "tile_m", "tile_k", "binary", "n_block", "strategy", "precision"
+    ),
 )
 def bucket_spmm(
     slab_ids,  # int32[ns, T]
@@ -139,8 +142,18 @@ def bucket_spmm(
     binary: bool,
     n_block: int,
     strategy: str,
+    precision: str = "highest",
 ) -> jax.Array:
-    """One bucket's ``Y_b = A_b @ X``: returns dtype[ns*TM, Npad]."""
+    """One bucket's ``Y_b = A_b @ X``: returns dtype[ns*TM, Npad].
+
+    ``precision='highest'`` keeps fp32 parity (rtol 1e-6, 6 bf16 MXU
+    passes); ``'default'`` is one bf16 pass — ~2.7x faster, rel ~1e-3.
+    """
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
     ns, T = slab_ids.shape
     K_all, Npad = x.shape
     NB = n_block
@@ -151,7 +164,7 @@ def bucket_spmm(
         SG = _SG if ns % _SG == 0 else 1
         TB = _TB if T % _TB == 0 else (2 if T % 2 == 0 else 1)
         body = functools.partial(
-            _spmm_resident_body, binary, tile_k, tile_m, SG, TB
+            _spmm_resident_body, binary, tile_k, tile_m, SG, TB, T, prec
         )
         x_spec = pl.BlockSpec(
             (K_all, NB), lambda j, i, t, s: (0, j), memory_space=pltpu.VMEM
@@ -166,10 +179,10 @@ def bucket_spmm(
         )
         grid = (nj, ns // SG, T // TB)
     else:
-        body = functools.partial(_spmm_streamed_body, binary, tile_k)
+        body = functools.partial(_spmm_streamed_body, binary, tile_k, prec)
         x_spec = pl.BlockSpec(
             (tile_k, NB),
-            lambda j, i, t, s: (s[i, t], j),
+            lambda j, i, t, s: (s[i * T + t], j),
             memory_space=pltpu.VMEM,
         )
         tiles_spec = pl.BlockSpec(
@@ -206,7 +219,7 @@ def bucket_spmm(
             flops=flops, bytes_accessed=abytes + xbytes, transcendentals=0
         ),
         interpret=_interpret(),
-    )(slab_ids, tiles, x)
+    )(slab_ids.reshape(-1), tiles, x)
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +231,7 @@ def bucket_spmm(
 _SPMV_GROUP = 8  # strips per grid step (Mosaic wants >= 8 output sublanes)
 
 
-def _spmv_body(binary, TK, TB, slab_ref, tiles_ref, x_ref, o_ref, acc_ref):
+def _spmv_body(binary, TK, TB, T, slab_ref, tiles_ref, x_ref, o_ref, acc_ref):
     i = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -226,13 +239,13 @@ def _spmv_body(binary, TK, TB, slab_ref, tiles_ref, x_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    mats = _block_mats(tiles_ref[:], binary, TK, o_ref.dtype)
     for g in range(_SPMV_GROUP):
         acc = None
         for u in range(TB):
-            slab = slab_ref[i * _SPMV_GROUP + g, t * TB + u]
+            slab = slab_ref[(i * _SPMV_GROUP + g) * T + t * TB + u]
             xs = x_ref[pl.ds(slab, 1), :]  # (1, TK)
-            a = _tile_mat(tiles_ref[g, u], binary, TK, xs.dtype)
-            d = a * xs
+            d = mats[g, u] * xs
             acc = d if acc is None else acc + d
         acc_ref[g] += acc
 
@@ -276,14 +289,14 @@ def bucket_spmv(
         scratch_shapes=[pltpu.VMEM((G, tile_m, tile_k), out_dtype)],
     )
     return pl.pallas_call(
-        functools.partial(_spmv_body, binary, tile_k, TB),
+        functools.partial(_spmv_body, binary, tile_k, TB, T),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ns, tile_m), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(slab_ids, tiles, x)
+    )(slab_ids.reshape(-1), tiles, x)
 
 
 def pick_strategy(

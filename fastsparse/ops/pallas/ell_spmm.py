@@ -1,0 +1,98 @@
+"""Pallas TPU gather engine: SpMM / SpMV over bucketed ELL rows.
+
+The tiled-BSR MXU path (`bsr_spmm`) wins when reordering produces dense
+tiles; for *hypersparse* structure (≈1 nnz per (8×128) tile — e.g. random
+power-law with ~60 nnz/row over 64k columns) tile padding makes it move
+hundreds of bytes per nonzero. This engine is the TPU answer to the
+reference's CSR row loop (SURVEY.md §3.2) for that regime:
+
+* the dense operand panel X lives **resident in VMEM** (column segments
+  must fit — the dispatcher picks the panel width);
+* each nonzero is one dynamic sublane slice ``x_ref[pl.ds(col, 1), :]`` —
+  a VREG row load at ~1/cycle issue rate — times its value, accumulated
+  in registers and written once per (row, step);
+* no MXU, no bf16 passes: pure f32 multiply-adds ⇒ exact fp32 parity.
+
+Per-nnz cost is instruction-rate bound (~1–2 ns/nnz), independent of
+sparsity pattern — the robust floor for unclustered matrices. Column
+indices are scalar-prefetched (flat, SMEM — see CLAUDE.md for the 2-D
+lane-padding trap); buckets are chunked by the caller to fit SMEM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ell_bucket_spmm", "ELL_GROUP"]
+
+ELL_GROUP = 8  # bucket rows per grid step (>= 8 output sublanes)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _body(K, KB, G, cols_ref, vals_ref, x_ref, o_ref):
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    for g in range(G):
+        acc = None
+        for u in range(KB):
+            k = (i * G + g) * K + t * KB + u
+            c = cols_ref[k]
+            # vals live in SMEM (scalar prefetch): arbitrary-index scalar
+            # reads are legal there, unlike VMEM lane offsets.
+            v = vals_ref[k]
+            xr = x_ref[pl.ds(c, 1), :]  # (1, NB) — one VREG row
+            d = xr * v
+            acc = d if acc is None else acc + d
+        o_ref[pl.ds(g, 1), :] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_block",))
+def ell_bucket_spmm(cols, vals, x, *, n_block: int) -> jax.Array:
+    """One ELL bucket's ``Y_b = A_b @ X``.
+
+    cols: int32[nb, K] (padding -> 0); vals: f32[nb, K] (padding -> 0);
+    x: f32[nx_rows, Npad] fully VMEM-resident. Returns f32[nb, Npad].
+    """
+    nb, K = cols.shape
+    NB = n_block
+    Npad = x.shape[1]
+    nj = Npad // NB
+    G = ELL_GROUP
+    assert nb % G == 0, f"bucket nb={nb} not a multiple of {G}"
+    KB = min(8, K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # flat cols + flat vals
+        grid=(nj, nb // G, K // KB),
+        in_specs=[
+            pl.BlockSpec(
+                (x.shape[0], NB),
+                lambda j, i, t, c, v: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (G, NB), lambda j, i, t, c, v: (i, j), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_body, K, KB, G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, Npad), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(cols.reshape(-1), vals.reshape(-1), x)

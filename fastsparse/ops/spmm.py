@@ -58,12 +58,33 @@ def spmm(A, X):
     """``Y = A @ X``. ``X``: dtype[ncol, N] → dtype[nrow, N]."""
     X = jnp.asarray(X)
     from ..formats.bsr import BsrMatrix
+    from ..formats.ell import SegmentedEll
 
     if isinstance(A, BsrMatrix):
         from .bsr_ops import bsr_spmm
 
         return bsr_spmm(A, X)
+    if isinstance(A, SegmentedEll):
+        from .ell_ops import ell_spmm, gather_engine_supported
+
+        seg_dtype = jnp.result_type(A.segments[0].dtype, X.dtype)
+        if gather_engine_supported(seg_dtype):
+            return ell_spmm(A, X)
+        Y = jnp.zeros((A.shape[0], X.shape[1]), seg_dtype)
+        for off, seg in zip(A.col_offsets, A.segments):
+            Y = Y + spmm(seg, X[off : off + seg.shape[1]])
+        return Y
     if isinstance(A, EllMatrix):
+        from .ell_ops import (
+            ell_spmm,
+            gather_engine_fits,
+            gather_engine_supported,
+        )
+
+        if gather_engine_supported(
+            jnp.result_type(A.dtype, X.dtype)
+        ) and gather_engine_fits(A.shape[1], X.shape[1]):
+            return ell_spmm(A, X)
         acc = jnp.zeros((A.shape[0], X.shape[1]), jnp.result_type(A.dtype, X.dtype))
         for b in A.buckets:
             def step(acc, cv):
@@ -80,12 +101,19 @@ def spmm_t(A, X):
     """``Y = A.T @ X``. ``X``: dtype[nrow, N] → dtype[ncol, N]."""
     X = jnp.asarray(X)
     from ..formats.bsr import BsrMatrix
+    from ..formats.ell import SegmentedEll
 
     if isinstance(A, BsrMatrix):
         raise TypeError(
             "BsrMatrix has no transpose-scatter path; build the dual tiling "
             "via fastsparse.operator(..., transpose=True) instead"
         )
+    if isinstance(A, SegmentedEll):
+        parts = [spmm_t(seg, X) for seg in A.segments]
+        Y = jnp.zeros((A.shape[1], X.shape[1]), X.dtype)
+        for off, seg, part in zip(A.col_offsets, A.segments, parts):
+            Y = Y.at[off : off + seg.shape[1]].add(part)
+        return Y
     if isinstance(A, EllMatrix):
         acc = jnp.zeros((A.shape[1], X.shape[1]), jnp.result_type(A.dtype, X.dtype))
         for b in A.buckets:

@@ -18,6 +18,7 @@ are correctness engines that do scatter.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..formats.coo import COO, BinaryCOO
@@ -40,11 +41,40 @@ def spmv(A, x):
     """``y = A @ x``. ``x``: dtype[ncol] → dtype[nrow]."""
     x = jnp.asarray(x)
     from ..formats.bsr import BsrMatrix
+    from ..formats.ell import SegmentedEll
 
     if isinstance(A, BsrMatrix):
         from .bsr_ops import bsr_spmv
 
         return bsr_spmv(A, x)
+    if isinstance(A, (EllMatrix, SegmentedEll)):
+        from .ell_ops import gather_engine_fits, gather_engine_supported
+
+        seg_ncol = (
+            A.seg_cols if isinstance(A, SegmentedEll) else A.shape[1]
+        )
+        if (
+            jax.default_backend() == "tpu"
+            and gather_engine_supported(
+                jnp.result_type(
+                    (
+                        A.segments[0] if isinstance(A, SegmentedEll) else A
+                    ).dtype,
+                    x.dtype,
+                )
+            )
+            and gather_engine_fits(seg_ncol, 1)
+        ):
+            # One VREG row-load per nonzero costs the same at N=1 as at
+            # N=128 — run SpMV through the gather SpMM kernel.
+            from .ell_ops import ell_spmm
+
+            return ell_spmm(A, x[:, None])[:, 0]
+    if isinstance(A, SegmentedEll):
+        y = jnp.zeros((A.shape[0],), x.dtype)
+        for off, seg in zip(A.col_offsets, A.segments):
+            y = y + spmv(seg, x[off : off + seg.shape[1]])
+        return y
     if isinstance(A, EllMatrix):
         y = jnp.zeros((A.shape[0],), jnp.result_type(A.dtype, x.dtype))
         for b in A.buckets:
@@ -68,12 +98,21 @@ def spmv_t(A, x):
     """
     x = jnp.asarray(x)
     from ..formats.bsr import BsrMatrix
+    from ..formats.ell import SegmentedEll
 
     if isinstance(A, BsrMatrix):
         raise TypeError(
             "BsrMatrix has no transpose-scatter path; build the dual tiling "
             "via fastsparse.operator(..., transpose=True) instead"
         )
+    if isinstance(A, SegmentedEll):
+        parts = [
+            spmv_t(seg, x) for seg in A.segments
+        ]
+        y = jnp.zeros((A.shape[1],), x.dtype)
+        for off, seg, part in zip(A.col_offsets, A.segments, parts):
+            y = y.at[off : off + seg.shape[1]].add(part)
+        return y
     if isinstance(A, EllMatrix):
         y = jnp.zeros((A.shape[1],), jnp.result_type(A.dtype, x.dtype))
         for b in A.buckets:

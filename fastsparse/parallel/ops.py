@@ -195,10 +195,43 @@ def pspmv(Ap: RowPartitioned, x, mesh: Mesh, *, schedule: str = "allgather", axi
     raise ValueError(f"unknown schedule {schedule!r}")
 
 
-def pspmm(Ap: RowPartitioned, X, mesh: Mesh, *, schedule: str = "allgather", axis: str = "rows"):
-    """Distributed ``Y = A @ X`` (X sharded over its row dim)."""
+def pspmm(
+    Ap: RowPartitioned,
+    X,
+    mesh: Mesh,
+    *,
+    schedule: str = "allgather",
+    axis: str = "rows",
+    engine: str = "coo",
+):
+    """Distributed ``Y = A @ X`` (X sharded over its row dim).
+
+    ``engine='bsr'`` runs each shard's product through the Pallas tiled-BSR
+    kernels (requires ``partition_rows(..., build_bsr_shards=True)``); the
+    default COO engine is the portable XLA path.
+    """
     Xp = pad_operand(X, Ap, "cols")
     if schedule == "allgather":
+        if engine == "bsr":
+            if Ap.local_bsr is None:
+                raise ValueError(
+                    "partition built without build_bsr_shards=True"
+                )
+            from ..ops.bsr_ops import bsr_spmm
+
+            def body(local, Xs):
+                A = _local(local)
+                X_full = jax.lax.all_gather(Xs, axis, tiled=True)
+                return bsr_spmm(A, X_full)
+
+            # check_vma=False: pallas_call outputs carry no vma type yet
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(_specs_of(Ap.local_bsr, axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )(Ap.local_bsr, Xp)
 
         def body(local, Xs):
             A = _local(local)
@@ -264,9 +297,51 @@ def pnormal_mv(Ap: RowPartitioned, x, mesh: Mesh, reg: float = 0.0, *, axis: str
     )(Ap.local, xp)
 
 
-def pnormal_mm(Ap: RowPartitioned, X, mesh: Mesh, reg: float = 0.0, *, axis: str = "rows"):
-    """Distributed ``(AᵀA + reg·I) X`` — multi-RHS variant."""
+def pnormal_mm(
+    Ap: RowPartitioned,
+    X,
+    mesh: Mesh,
+    reg: float = 0.0,
+    *,
+    axis: str = "rows",
+    engine: str = "coo",
+):
+    """Distributed ``(AᵀA + reg·I) X`` — multi-RHS variant.
+
+    ``engine='bsr'``: both passes run the Pallas kernels over the shard's
+    forward tiling and its precompiled dual (transpose) tiling — no
+    scatter anywhere (SURVEY.md §7.3 item 5), one all-gather + one
+    reduce-scatter of collectives.
+    """
     Xp = pad_operand(X, Ap, "cols")
+    if engine == "bsr":
+        if Ap.local_bsr is None or Ap.local_bsr_t is None:
+            raise ValueError("partition built without build_bsr_shards=True")
+        from ..ops.bsr_ops import bsr_spmm
+
+        def body(fwd, bwd, Xs):
+            A = _local(fwd)
+            At = _local(bwd)
+            X_full = jax.lax.all_gather(Xs, axis, tiled=True)
+            tmp = bsr_spmm(A, X_full)
+            part = bsr_spmm(At, tmp)
+            out = jax.lax.psum_scatter(
+                part, axis, scatter_dimension=0, tiled=True
+            )
+            return out + reg * Xs
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                _specs_of(Ap.local_bsr, axis),
+                _specs_of(Ap.local_bsr_t, axis),
+                P(axis),
+            ),
+            out_specs=P(axis),
+            check_vma=False,
+        )(Ap.local_bsr, Ap.local_bsr_t, Xp)
+
     def body(local, Xs):
         A = _local(local)
         X_full = jax.lax.all_gather(Xs, axis, tiled=True)

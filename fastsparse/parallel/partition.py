@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT, Config
-from ..formats.coo import COO, BinaryCOO, COO as _COO
+from ..formats.bsr import BsrBucket, BsrMatrix, build_bsr
+from ..formats.coo import COO, BinaryCOO
 from ..formats.csr import CSR, BinaryCSR
 from ..utils.pytree import pytree_dataclass, static_field
 
@@ -53,6 +54,8 @@ class RowPartitioned:
 
     local: COO
     blocks: Optional[COO]
+    local_bsr: Optional[BsrMatrix]  # stacked tiled shards (Pallas path)
+    local_bsr_t: Optional[BsrMatrix]  # stacked dual tilings of each shard's Aᵀ
     shape: tuple = static_field()  # global (nrow, ncol)
     n_shards: int = static_field()
     row_block: int = static_field()  # rows per shard (padded)
@@ -99,19 +102,77 @@ def _stack_padded(groups, row_block, col_block, cap, dtype):
     return R, Cc, V
 
 
+def _stack_bsr_shards(shard_mats, config: Config) -> BsrMatrix:
+    """Stack per-shard BsrMatrix pytrees into one uniform-shape container.
+
+    SPMD needs identical local shapes on every device: the bucket-width set
+    is the union across shards and every bucket's ``ns`` is padded to the
+    per-width max (padding rows carry the dump strip id and zero tiles).
+    Static metadata (nnz, tiles) becomes the aggregate — consumers only use
+    the uniform structural fields inside `shard_map`.
+    """
+    P = len(shard_mats)
+    widths = sorted({b.ntiles for A in shard_mats for b in A.buckets})
+    nsp = shard_mats[0].n_strips
+    TM, TK = shard_mats[0].tile_m, shard_mats[0].tile_k
+    binary = shard_mats[0].binary
+    tiles_last = TK // 32 if binary else TK
+    tiles_dtype = jnp.uint32 if binary else shard_mats[0].dtype
+    buckets = []
+    for w in widths:
+        per = [
+            next((b for b in A.buckets if b.ntiles == w), None)
+            for A in shard_mats
+        ]
+        ns_max = max((b.ns for b in per if b is not None), default=0)
+        ns_max = _round_up(max(ns_max, 8), 8)
+        S = np.full((P, ns_max), nsp, np.int32)
+        L = np.zeros((P, ns_max, w), np.int32)
+        Tt = [None] * P
+        for p, b in enumerate(per):
+            if b is not None:
+                S[p, : b.ns] = np.asarray(b.strip_ids)
+                L[p, : b.ns] = np.asarray(b.slab_ids)
+            pad_tiles = jnp.zeros((ns_max, w, TM, tiles_last), tiles_dtype)
+            if b is not None:
+                pad_tiles = pad_tiles.at[: b.ns].set(b.tiles)
+            Tt[p] = pad_tiles
+        buckets.append(
+            BsrBucket(
+                strip_ids=jnp.asarray(S),
+                slab_ids=jnp.asarray(L),
+                tiles=jnp.stack(Tt),
+                ntiles=w,
+            )
+        )
+    return BsrMatrix(
+        buckets=tuple(buckets),
+        shape=shard_mats[0].shape,
+        nnz=sum(A.nnz for A in shard_mats),
+        n_tiles=sum(A.n_tiles for A in shard_mats),
+        padded_tiles=max(A.padded_tiles for A in shard_mats),
+        tile_m=TM,
+        tile_k=TK,
+        binary=binary,
+    )
+
+
 def partition_rows(
     mat,
     n_shards: int,
     config: Config = DEFAULT,
     dtype=None,
     build_blocks: bool = True,
+    build_bsr_shards: bool = False,
 ) -> RowPartitioned:
     """Partition ``mat`` (scipy / COO / CSR) into ``n_shards`` row blocks.
 
     Host-side compile step (it fixes static shard shapes), mirroring the
     reference's ``new_bsbm`` block construction (SURVEY.md §2 R6). Values
     are always materialized (binary inputs get unit values) so padding is
-    zero-valued and mask-free.
+    zero-valued and mask-free. With ``build_bsr_shards=True`` each shard is
+    additionally compiled to tiled BSR (forward + dual transpose tiling)
+    so the distributed products run the Pallas MXU kernels.
     """
     rows, cols, vals, shape = _to_host_coo(mat, dtype)
     nrow, ncol = shape
@@ -166,9 +227,27 @@ def partition_rows(
             n_valid=capb,
         )
 
+    local_bsr = local_bsr_t = None
+    if build_bsr_shards:
+        fwd_shards, bwd_shards = [], []
+        for p in range(P):
+            r, c, v = local_groups[p]
+            shard_coo = COO.from_arrays(
+                r, c, v, (row_block, P * col_block)
+            )
+            fwd_shards.append(build_bsr(shard_coo, config=config))
+            shard_coo_t = COO.from_arrays(
+                c, r, v, (P * col_block, row_block)
+            )
+            bwd_shards.append(build_bsr(shard_coo_t, config=config))
+        local_bsr = _stack_bsr_shards(fwd_shards, config)
+        local_bsr_t = _stack_bsr_shards(bwd_shards, config)
+
     return RowPartitioned(
         local=local,
         blocks=blocks,
+        local_bsr=local_bsr,
+        local_bsr_t=local_bsr_t,
         shape=shape,
         n_shards=P,
         row_block=row_block,

@@ -1,0 +1,38 @@
+"""Tracing / profiling helpers (SURVEY.md §5.1).
+
+The reference's only instrumentation was ``omp_get_wtime`` in bench
+drivers; here every kernel dispatch site is wrapped in `jax.named_scope`
+so `jax.profiler` traces (perfetto) attribute device time per kernel.
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+
+import jax
+
+__all__ = ["named", "trace"]
+
+
+def named(name: str):
+    """Alias of `jax.named_scope` for kernel annotation."""
+    return jax.named_scope(name)
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/fastsparse_trace"):
+    """Capture a profiler trace around a block:
+
+        with trace("/tmp/t"):
+            y = op.matvec(x); fetch_scalar(y)
+
+    View with xprof/perfetto. On remote-execution backends make sure the
+    block ends with a value fetch (`bench.timing.fetch_scalar`), otherwise
+    nothing has executed by the time the trace stops.
+    """
+    os.makedirs(logdir, exist_ok=True)
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()

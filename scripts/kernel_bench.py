@@ -52,14 +52,11 @@ def run_variant(name, body, tiles, x, slab_ids, SG, TB, reps=30):
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )
-    g = jax.jit(lambda s_, t_, x_: f(s_, t_, x_))
+    from fastsparse.bench.timing import time_fn
+
+    g = jax.jit(lambda s_, t_, x_: f(s_.reshape(-1), t_, x_))
     out = g(slab_ids, tiles, x)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = g(slab_ids, tiles, x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    dt = time_fn(g, slab_ids, tiles, x, reps=reps)
     ntile = NS * T
     tick(f"{name}: {dt*1e3:7.3f} ms  {dt/ntile*1e9:6.1f} ns/tile  "
          f"{ntile*TM*TK*2*NB/dt/1e12:5.2f} eff-TFLOP/s")
@@ -78,7 +75,7 @@ def mk_valued_body(SG, TB, precision):
         for g in range(SG):
             acc = None
             for u in range(TB):
-                slab = slab_ref[i * SG + g, t * TB + u]
+                slab = slab_ref[(i * SG + g) * T + t * TB + u]
                 xs = x_ref[pl.ds(slab * TK, TK), :]
                 d = jnp.dot(tiles_ref[g, u], xs,
                             preferred_element_type=jnp.float32,
@@ -109,10 +106,19 @@ def mk_binary_body(SG, TB, mode):
         for g in range(SG):
             acc = None
             for u in range(TB):
-                slab = slab_ref[i * SG + g, t * TB + u]
+                slab = slab_ref[(i * SG + g) * T + t * TB + u]
                 xs = x_ref[pl.ds(slab * TK, TK), :]
                 on = expand(tiles_ref[g, u])
-                if mode == "2pass":
+                if mode == "3pass":
+                    a = jnp.where(on, jnp.float32(1), jnp.float32(0)).astype(jnp.bfloat16)
+                    x0 = xs.astype(jnp.bfloat16)
+                    r1 = xs - x0.astype(jnp.float32)
+                    x1 = r1.astype(jnp.bfloat16)
+                    x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+                    d = jnp.dot(a, x0, preferred_element_type=jnp.float32)
+                    d = d + jnp.dot(a, x1, preferred_element_type=jnp.float32)
+                    d = d + jnp.dot(a, x2, preferred_element_type=jnp.float32)
+                elif mode == "2pass":
                     a = jnp.where(on, jnp.float32(1), jnp.float32(0)).astype(jnp.bfloat16)
                     hi = xs.astype(jnp.bfloat16)
                     lo = (xs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -148,13 +154,42 @@ def main():
                     tiles_f32, x, slab_ids, SG, TB)
     run_variant("valued SG8 TB4 DEFAULT", mk_valued_body(8, 4, P.DEFAULT),
                 tiles_f32, x, slab_ids, 8, 4)
-    run_variant("valued SG8 TB4 HIGH", mk_valued_body(8, 4, "high"),
-                tiles_f32, x, slab_ids, 8, 4)
-    for mode in ["f32-highest", "2pass", "1pass-bf16"]:
+    for mode in ["f32-highest", "3pass", "1pass-bf16"]:
         run_variant(f"binary SG8 TB4 {mode}", mk_binary_body(8, 4, mode),
                     tiles_bits, x, slab_ids, 8, 4)
-    run_variant("binary SG8 TB16 2pass", mk_binary_body(8, 16, "2pass"),
+    run_variant("binary SG8 TB16 3pass", mk_binary_body(8, 16, "3pass"),
                 tiles_bits, x, slab_ids, 8, 16)
+    # accuracy of 3pass vs f32-highest
+    o_ref = run_variant("binary ref", mk_binary_body(8, 4, "f32-highest"),
+                        tiles_bits, x, slab_ids, 8, 4, reps=1)
+    o_3p = run_variant("binary 3p", mk_binary_body(8, 4, "3pass"),
+                       tiles_bits, x, slab_ids, 8, 4, reps=1)
+    err = float(jnp.max(jnp.abs(o_ref - o_3p)) / (jnp.max(jnp.abs(o_ref)) + 1e-30))
+    tick(f"3pass rel err vs highest: {err:.2e}")
+    # production kernels (block-batched expansion)
+    from fastsparse.ops.pallas.bsr_spmm import bucket_spmm, bucket_spmv
+    from fastsparse.bench.timing import time_fn
+
+    for prec in ["highest", "default"]:
+        f = lambda s_, t_, x_: bucket_spmm(
+            s_, t_, x_, tile_m=TM, tile_k=TK, binary=False,
+            n_block=NB, strategy="resident", precision=prec)
+        out = f(slab_ids, tiles_f32, x)
+        dt = time_fn(f, slab_ids, tiles_f32, x, reps=30)
+        tick(f"PROD valued {prec}: {dt*1e3:7.3f} ms  {dt/(NS*T)*1e9:6.1f} ns/tile")
+    for prec in ["highest", "default"]:
+        f = lambda s_, t_, x_: bucket_spmm(
+            s_, t_, x_, tile_m=TM, tile_k=TK, binary=True,
+            n_block=NB, strategy="resident", precision=prec)
+        out = f(slab_ids, tiles_bits, x)
+        dt = time_fn(f, slab_ids, tiles_bits, x, reps=30)
+        tick(f"PROD binary {prec}: {dt*1e3:7.3f} ms  {dt/(NS*T)*1e9:6.1f} ns/tile")
+    xv = x[:, 0].reshape(NSL, TK)
+    f = lambda s_, t_, x_: bucket_spmv(
+        s_, t_, x_, tile_m=TM, tile_k=TK, binary=True)
+    out = f(slab_ids, tiles_bits, xv)
+    dt = time_fn(f, slab_ids, tiles_bits, xv, reps=30)
+    tick(f"PROD binary spmv: {dt*1e3:7.3f} ms  {dt/(NS*T)*1e9:6.1f} ns/tile")
     tick("done")
 
 

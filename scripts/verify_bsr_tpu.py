@@ -45,13 +45,9 @@ def check(name, got, ref, rtol=2e-4, atol=2e-4):
 
 
 def bench(name, f, *args, reps=10, nnz=None):
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = f(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    from fastsparse.bench.timing import time_fn
+
+    dt = time_fn(f, *args, reps=reps)
     tick(f"{name}: {dt*1e3:.3f} ms" + (f" {nnz/dt/1e9:.3f} Gnnz/s" if nnz else ""))
 
 

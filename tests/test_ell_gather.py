@@ -1,0 +1,55 @@
+"""Gather-engine (Pallas ELL) tests, interpret mode on CPU."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import conftest as C
+
+from fastsparse.formats.coo import coo_from_scipy
+from fastsparse.formats.ell import build_ell, build_ell_segmented
+from fastsparse.ops.ell_ops import ell_spmm
+
+
+CASES = [
+    ("random", lambda: C.random_csr(200, 300, 0.05, seed=0, dtype=np.float32)),
+    ("powerlaw", lambda: C.powerlaw_csr(256, 190, 3000, seed=1, dtype=np.float32)),
+    ("empty", lambda: sp.csr_matrix((64, 64), dtype=np.float32)),
+    ("dense_row", lambda: sp.csr_matrix(
+        np.outer(np.arange(16) == 3, np.arange(40) + 1.0).astype(np.float32))),
+]
+
+
+@pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
+def test_ell_gather_spmm(name, make):
+    m = make()
+    A = build_ell(coo_from_scipy(m, dtype=np.float32))
+    X = np.random.default_rng(2).standard_normal((m.shape[1], 24)).astype(np.float32)
+    Y = np.asarray(ell_spmm(A, X))
+    ref = m @ X
+    atol = 1e-6 * max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(Y, ref, rtol=2e-6, atol=atol)
+
+
+def test_segmented_ell_spmm():
+    m = C.powerlaw_csr(300, 500, 6000, seed=3, dtype=np.float32)
+    S = build_ell_segmented(coo_from_scipy(m, dtype=np.float32), seg_cols=128)
+    assert len(S.segments) == 4
+    np.testing.assert_allclose(
+        np.asarray(S.todense()), m.toarray(), rtol=1e-6, atol=1e-6
+    )
+    X = np.random.default_rng(4).standard_normal((500, 16)).astype(np.float32)
+    Y = np.asarray(ell_spmm(S, X))
+    ref = m @ X
+    atol = 1e-6 * max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(Y, ref, rtol=2e-6, atol=atol)
+
+
+def test_spmm_dispatch_uses_gather():
+    import fastsparse as fs
+
+    m = C.random_csr(100, 120, 0.05, seed=5, dtype=np.float32)
+    A = fs.build_ell(fs.coo_from_scipy(m, dtype=np.float32))
+    X = np.random.default_rng(6).standard_normal((120, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(fs.spmm(A, X)), m @ X, rtol=1e-6, atol=1e-6
+    )

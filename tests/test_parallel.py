@@ -93,3 +93,26 @@ def test_binary_input(mesh):
     y = jax.jit(lambda Ap, x: pspmv(Ap, x, mesh))(Ap, jnp.asarray(x))
     y = unpad_result(y, Ap, "rows")
     np.testing.assert_allclose(np.asarray(y), m @ x, rtol=1e-10)
+
+
+@pytest.mark.parametrize("fn", ["spmm", "normal"])
+def test_bsr_engine_distributed(mesh, fn):
+    m = C.powerlaw_csr(640, 512, 8000, seed=7, dtype=np.float32)
+    Ap = shard_partitioned(
+        partition_rows(m, 8, build_blocks=False, build_bsr_shards=True), mesh
+    )
+    rng = np.random.default_rng(8)
+    X = rng.standard_normal((512, 16)).astype(np.float32)
+    if fn == "spmm":
+        Y = jax.jit(lambda Ap, X: pspmm(Ap, X, mesh, engine="bsr"))(
+            Ap, jnp.asarray(X)
+        )
+        Y = unpad_result(Y, Ap, "rows")
+        np.testing.assert_allclose(np.asarray(Y), m @ X, rtol=2e-4, atol=2e-4)
+    else:
+        Z = jax.jit(lambda Ap, X: pnormal_mm(Ap, X, mesh, reg=0.5, engine="bsr"))(
+            Ap, jnp.asarray(X)
+        )
+        Z = unpad_result(Z, Ap, "cols")
+        ref = m.T @ (m @ X) + 0.5 * X
+        np.testing.assert_allclose(np.asarray(Z), ref, rtol=2e-3, atol=2e-3)

@@ -18,7 +18,7 @@ from ..reorder.sort import sort_coo
 from .coo import COO, BinaryCOO
 from .csr import CSR, BinaryCSR
 
-__all__ = ["to_csr", "to_coo", "transpose_coo", "row_counts"]
+__all__ = ["to_csr", "to_csr_host", "to_coo", "transpose_coo", "row_counts"]
 
 
 def row_counts(rows: jax.Array, valid: jax.Array, nrow: int) -> jax.Array:
@@ -66,6 +66,51 @@ def to_coo(mat):
     if isinstance(mat, (COO, BinaryCOO)):
         return mat
     return mat.to_coo()
+
+
+def to_csr_host(coo):
+    """COO -> CSR via a host-side lexsort (no device sort compile).
+
+    The jittable `to_csr` stays the on-device primitive (BASELINE.json:5);
+    builders prefer this path for concrete (non-traced) inputs because
+    remote `lax.sort` compiles cost ~a minute per shape (CLAUDE.md) and
+    format compilation is an offline step anyway.
+    """
+    import numpy as np
+
+    if isinstance(coo.rows, jax.core.Tracer):
+        return to_csr(coo)
+    nrow, _ = coo.shape
+    rows = np.asarray(coo.rows)[: coo.n_valid]
+    cols = np.asarray(coo.cols)[: coo.n_valid]
+    order = np.lexsort((cols, rows))
+    rows_s = rows[order]
+    cols_s = cols[order]
+    row_ptr = np.zeros(nrow + 1, np.int32)
+    np.cumsum(np.bincount(rows_s, minlength=nrow), out=row_ptr[1:])
+    cap = coo.nnz_cap
+    pad = cap - rows_s.size
+
+    def _pad(a, fill=0):
+        return np.concatenate([a, np.full(pad, fill, a.dtype)]) if pad else a
+
+    if isinstance(coo, BinaryCOO):
+        return BinaryCSR(
+            row_ptr=jnp.asarray(row_ptr),
+            cols=jnp.asarray(_pad(cols_s.astype(np.int32))),
+            rows=jnp.asarray(_pad(rows_s.astype(np.int32))),
+            shape=coo.shape,
+            n_valid=coo.n_valid,
+        )
+    vals = np.asarray(coo.vals)[: coo.n_valid][order]
+    return CSR(
+        row_ptr=jnp.asarray(row_ptr),
+        cols=jnp.asarray(_pad(cols_s.astype(np.int32))),
+        vals=jnp.asarray(_pad(vals)),
+        rows=jnp.asarray(_pad(rows_s.astype(np.int32))),
+        shape=coo.shape,
+        n_valid=coo.n_valid,
+    )
 
 
 @jax.jit

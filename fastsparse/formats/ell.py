@@ -33,7 +33,7 @@ import numpy as np
 from ..config import DEFAULT, Config
 from ..utils.pytree import pytree_dataclass, static_field
 from .coo import BinaryCOO
-from .convert import to_csr
+from .convert import to_csr, to_csr_host
 from .csr import CSR, BinaryCSR
 
 __all__ = ["EllBucket", "EllMatrix", "SegmentedEll", "build_ell", "build_ell_segmented"]
@@ -61,12 +61,21 @@ class EllBucket:
 
 @pytree_dataclass
 class EllMatrix:
-    """A matrix compiled into width-bucketed ELL slabs."""
+    """A matrix compiled into width-bucketed ELL slabs.
+
+    ``unit_vals=True`` marks binary matrices: every live entry is exactly
+    1.0 AND padding slots point their column at the sentinel ``ncol`` (a
+    zero row in the padded X panel), so kernels may skip the value
+    multiply entirely (`ops.pallas.ell_spmm` unit mode). XLA fallbacks are
+    unaffected: out-of-range scatter indices drop, gathers clamp onto a
+    zero product.
+    """
 
     buckets: Tuple[EllBucket, ...]
     shape: tuple = static_field()
     nnz: int = static_field()
     padded_nnz: int = static_field()  # sum of nb*K over buckets
+    unit_vals: bool = static_field(default=False)
 
     @property
     def dtype(self):
@@ -117,12 +126,12 @@ class SegmentedEll:
 
 
 @jax.jit
-def _fill_flat(flat_size_arr, slot_of_entry, cols, vals, valid):
+def _fill_flat(flat_size_arr, slot_of_entry, cols, vals, valid, pad_col):
     """One-pass device scatter of every entry into the concatenated buckets."""
-    flat_cols = jnp.zeros(flat_size_arr.shape, jnp.int32)
+    flat_cols = jnp.full(flat_size_arr.shape, pad_col, jnp.int32)
     flat_vals = jnp.zeros(flat_size_arr.shape, vals.dtype)
     slot = jnp.where(valid, slot_of_entry, flat_cols.shape[0] - 1)
-    flat_cols = flat_cols.at[slot].set(jnp.where(valid, cols, 0))
+    flat_cols = flat_cols.at[slot].set(jnp.where(valid, cols, pad_col))
     flat_vals = flat_vals.at[slot].set(jnp.where(valid, vals, 0))
     return flat_cols, flat_vals
 
@@ -138,9 +147,10 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
     if isinstance(mat, (CSR, BinaryCSR)):
         csr = mat
     else:
-        csr = to_csr(mat)
+        csr = to_csr_host(mat)  # falls back to device to_csr for tracers
     nrow, ncol = csr.shape
-    if isinstance(csr, BinaryCSR):
+    is_binary = isinstance(csr, BinaryCSR)
+    if is_binary:
         if dtype is None:
             dtype = jnp.float32
         vals_dev = csr.valid_mask().astype(dtype)
@@ -193,6 +203,9 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
     )
     valid_np = k_global < csr.n_valid
     slot = np.where(valid_np, slot, flat_size - 1)
+    # Binary matrices pad columns with the sentinel ``ncol`` (a zero X
+    # row) so the unit-vals gather kernel can skip the multiply.
+    pad_col = jnp.int32(ncol if is_binary else 0)
     flat_cols, flat_vals = _fill_flat(
         jnp.zeros((flat_size,), jnp.int8),
         jnp.asarray(slot, jnp.int32)
@@ -201,6 +214,7 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
         csr.cols,
         vals_dev,
         jnp.asarray(valid_np),
+        pad_col,
     )
 
     buckets = []
@@ -221,6 +235,7 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
         shape=(nrow, ncol),
         nnz=csr.n_valid,
         padded_nnz=padded,
+        unit_vals=is_binary,
     )
 
 
@@ -237,10 +252,11 @@ def build_ell_segmented(
     if isinstance(mat, (CSR, BinaryCSR)):
         mat = mat.to_coo()
     nrow, ncol = mat.shape
+    is_binary = isinstance(mat, BinaryCOO)
     rows = np.asarray(mat.rows)[: mat.n_valid]
     cols = np.asarray(mat.cols)[: mat.n_valid]
-    if isinstance(mat, BinaryCOO):
-        vals = np.ones(rows.shape[0], np.float32)
+    if is_binary:
+        vals = None
     else:
         vals = np.asarray(mat.vals)[: mat.n_valid]
         if dtype is not None:
@@ -260,9 +276,14 @@ def build_ell_segmented(
         lo = si * seg_cols
         hi = min(lo + seg_cols, ncol)
         sel = (cols >= lo) & (cols < hi)
-        seg_coo = COO.from_arrays(
-            rows[sel], cols[sel] - lo, vals[sel], (nrow, hi - lo)
-        ).pad_to(cap)
+        if is_binary:
+            seg_coo = BinaryCOO.from_arrays(
+                rows[sel], cols[sel] - lo, (nrow, hi - lo)
+            ).pad_to(cap)
+        else:
+            seg_coo = COO.from_arrays(
+                rows[sel], cols[sel] - lo, vals[sel], (nrow, hi - lo)
+            ).pad_to(cap)
         segments.append(build_ell(seg_coo, config=config))
         offsets.append(lo)
     return SegmentedEll(

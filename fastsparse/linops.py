@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .config import DEFAULT, Config
 from .formats.bsr import BsrMatrix, build_bsr
-from .formats.convert import to_coo, transpose_coo
+from .formats.convert import to_coo
 from .formats.coo import COO, BinaryCOO
 from .formats.csr import CSR, BinaryCSR
 from .formats.ell import EllMatrix, SegmentedEll, build_ell, build_ell_segmented
@@ -231,7 +231,22 @@ def operator(
     fwd = _compile_one(coo, format, config, dtype)
     bwd = None
     if transpose:
-        coo_t = transpose_coo(coo)
+        # plain index swap; builders row-sort host-side themselves
+        if isinstance(coo, BinaryCOO):
+            coo_t = BinaryCOO(
+                rows=coo.cols,
+                cols=coo.rows,
+                shape=(coo.shape[1], coo.shape[0]),
+                n_valid=coo.n_valid,
+            )
+        else:
+            coo_t = COO(
+                rows=coo.cols,
+                cols=coo.rows,
+                vals=coo.vals,
+                shape=(coo.shape[1], coo.shape[0]),
+                n_valid=coo.n_valid,
+            )
         bwd = _compile_one(coo_t, format, config, dtype)
     return SparseOperator(
         fwd=fwd,

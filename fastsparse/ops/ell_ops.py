@@ -34,30 +34,34 @@ def gather_engine_fits(ncol: int, n_rhs: int, itemsize: int = 4) -> bool:
     return _round_up(max(ncol, 8), 8) * nb * itemsize <= X_VMEM_BUDGET
 
 
-def _bucket_chunks(b):
+def _bucket_chunks(b, ell):
     """Fixed-nb chunks of a bucket whose flat cols fit the SMEM budget."""
     nb, K = b.cols.shape
     nb_max = max(ELL_GROUP, (_SMEM_IDX_BUDGET // max(K, 1)) // 8 * 8)
     if nb <= nb_max:
         yield b.row_ids, b.cols, b.vals
         return
+    pad_col = ell.shape[1] if getattr(ell, "unit_vals", False) else 0
     for s0 in range(0, nb, nb_max):
         s1 = min(s0 + nb_max, nb)
         rid, cc, vv = b.row_ids[s0:s1], b.cols[s0:s1], b.vals[s0:s1]
         if s1 - s0 < nb_max:
             pad = nb_max - (s1 - s0)
             rid = jnp.concatenate([rid, jnp.zeros((pad,), rid.dtype)])
-            cc = jnp.concatenate([cc, jnp.zeros((pad, K), cc.dtype)])
+            cc = jnp.concatenate(
+                [cc, jnp.full((pad, K), pad_col, cc.dtype)]
+            )
             vv = jnp.concatenate([vv, jnp.zeros((pad, K), vv.dtype)])
         yield rid, cc, vv
 
 
 def _seg_spmm(ell: EllMatrix, Xseg, Y, n_block: int):
     """Accumulate one segment's product into Y f32[nrow, Npad]."""
+    unit = getattr(ell, "unit_vals", False)
     for b in ell.buckets:
-        for row_ids, cols, vals in _bucket_chunks(b):
-            Yb = ell_bucket_spmm(cols, vals, Xseg, n_block=n_block)
-            # padding chunk rows have row_id 0 and zero vals -> add is no-op
+        for row_ids, cols, vals in _bucket_chunks(b, ell):
+            Yb = ell_bucket_spmm(cols, vals, Xseg, n_block=n_block, unit=unit)
+            # padding chunk rows add zeros (zero vals / sentinel columns)
             Y = Y.at[row_ids].add(Yb)
     return Y
 
@@ -82,7 +86,8 @@ def ell_spmm(A, X, *, n_block: int | None = None) -> jax.Array:
     Y = jnp.zeros((nrow, Npad), jnp.float32)
     for off, seg in segs:
         seg_ncol = seg.shape[1]
-        rows_pad = _round_up(max(seg_ncol, 8), 8)
+        # +1: unit-mode sentinel column (ncol) must hit a zero row of X
+        rows_pad = _round_up(max(seg_ncol + 1, 8), 8)
         Xseg = (
             jnp.zeros((rows_pad, Npad), jnp.float32)
             .at[:seg_ncol, :N]

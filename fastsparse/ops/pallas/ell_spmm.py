@@ -58,12 +58,35 @@ def _body(K, KB, G, cols_ref, vals_ref, x_ref, o_ref):
         o_ref[pl.ds(g, 1), :] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("n_block",))
-def ell_bucket_spmm(cols, vals, x, *, n_block: int) -> jax.Array:
+def _body_unit(K, KB, G, cols_ref, x_ref, o_ref):
+    """Binary (unit-values) variant: padding columns point at a zero X
+    row (sentinel), so each nonzero is a bare load+add — no value fetch,
+    no multiply."""
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    for g in range(G):
+        acc = None
+        for u in range(KB):
+            k = (i * G + g) * K + t * KB + u
+            c = cols_ref[k]
+            xr = x_ref[pl.ds(c, 1), :]
+            acc = xr if acc is None else acc + xr
+        o_ref[pl.ds(g, 1), :] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_block", "unit"))
+def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.Array:
     """One ELL bucket's ``Y_b = A_b @ X``.
 
-    cols: int32[nb, K] (padding -> 0); vals: f32[nb, K] (padding -> 0);
-    x: f32[nx_rows, Npad] fully VMEM-resident. Returns f32[nb, Npad].
+    cols: int32[nb, K]; vals: f32[nb, K] (ignored when ``unit``);
+    x: f32[nx_rows, Npad] fully VMEM-resident. In unit mode padding
+    columns MUST point at a zero row of x (the builder's sentinel).
+    Returns f32[nb, Npad].
     """
     nb, K = cols.shape
     NB = n_block
@@ -73,26 +96,31 @@ def ell_bucket_spmm(cols, vals, x, *, n_block: int) -> jax.Array:
     assert nb % G == 0, f"bucket nb={nb} not a multiple of {G}"
     KB = min(8, K)
 
+    n_scalar = 1 if unit else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # flat cols + flat vals
+        num_scalar_prefetch=n_scalar,
         grid=(nj, nb // G, K // KB),
         in_specs=[
             pl.BlockSpec(
                 (x.shape[0], NB),
-                lambda j, i, t, c, v: (0, j),
+                lambda j, i, t, *_s: (0, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (G, NB), lambda j, i, t, c, v: (i, j), memory_space=pltpu.VMEM
+            (G, NB), lambda j, i, t, *_s: (i, j), memory_space=pltpu.VMEM
         ),
     )
-    return pl.pallas_call(
-        functools.partial(_body, K, KB, G),
+    body = functools.partial(_body_unit if unit else _body, K, KB, G)
+    call = pl.pallas_call(
+        body,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, Npad), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(cols.reshape(-1), vals.reshape(-1), x)
+    )
+    if unit:
+        return call(cols.reshape(-1), x)
+    return call(cols.reshape(-1), vals.reshape(-1), x)

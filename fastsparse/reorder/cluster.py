@@ -32,13 +32,30 @@ def invert_perm(perm: jax.Array) -> jax.Array:
     )
 
 
-@jax.jit
 def degree_perms(coo):
     """(row_perm, col_perm): old index of the k-th densest row/column.
 
     Stable descending-degree order, so the permuted matrix has its heavy
     rows/columns first — power-law structure becomes a dense top-left core.
+    Concrete inputs take a host fast path (device argsort compiles cost
+    ~a minute per shape through the remote tunnel — CLAUDE.md); traced
+    inputs run the jitted device version.
     """
+    if not isinstance(coo.rows, jax.core.Tracer):
+        import numpy as np
+
+        rows = np.asarray(coo.rows)[: coo.n_valid]
+        cols = np.asarray(coo.cols)[: coo.n_valid]
+        rdeg = np.bincount(rows, minlength=coo.shape[0])
+        cdeg = np.bincount(cols, minlength=coo.shape[1])
+        row_perm = np.argsort(-rdeg, kind="stable").astype(np.int32)
+        col_perm = np.argsort(-cdeg, kind="stable").astype(np.int32)
+        return jnp.asarray(row_perm), jnp.asarray(col_perm)
+    return _degree_perms_device(coo)
+
+
+@jax.jit
+def _degree_perms_device(coo):
     nrow, ncol = coo.shape
     valid = coo.valid_mask()
     ones = valid.astype(jnp.int32)

@@ -53,3 +53,20 @@ def test_spmm_dispatch_uses_gather():
     np.testing.assert_allclose(
         np.asarray(fs.spmm(A, X)), m @ X, rtol=1e-6, atol=1e-6
     )
+
+
+def test_binary_unit_gather():
+    import fastsparse as fs
+
+    m = C.random_csr(120, 140, 0.06, seed=7, binary=True)
+    A = fs.build_ell(fs.binary_coo_from_scipy(m))
+    assert A.unit_vals
+    X = np.random.default_rng(8).standard_normal((140, 16)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ell_spmm(A, X)), m @ X, rtol=1e-6, atol=1e-5
+    )
+    S = build_ell_segmented(fs.binary_coo_from_scipy(m), seg_cols=64)
+    assert all(seg.unit_vals for seg in S.segments)
+    np.testing.assert_allclose(
+        np.asarray(ell_spmm(S, X)), m @ X, rtol=1e-6, atol=1e-5
+    )

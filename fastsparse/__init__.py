@@ -13,6 +13,8 @@ from .formats.csr import CSR, BinaryCSR, csr_from_scipy, binary_csr_from_scipy
 from .formats.convert import to_csr, to_coo, transpose_coo
 from .formats.ell import EllMatrix, SegmentedEll, build_ell, build_ell_segmented
 from .formats.bsr import BsrMatrix, build_bsr
+from .formats.hybrid import HybridMatrix, build_hybrid
+from .formats.segmented import ColSegmented, build_bsr_segmented
 from .linops import SparseOperator, operator
 from .reorder.sort import sort_coo, ORDERINGS
 from .reorder.morton import morton_key, morton_key64
@@ -41,6 +43,10 @@ __all__ = [
     "build_ell_segmented",
     "BsrMatrix",
     "build_bsr",
+    "HybridMatrix",
+    "build_hybrid",
+    "ColSegmented",
+    "build_bsr_segmented",
     "SparseOperator",
     "operator",
     "coo_from_scipy",

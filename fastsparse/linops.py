@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from .config import DEFAULT, Config
 from .formats.bsr import BsrMatrix, build_bsr
+from .formats.hybrid import HybridMatrix, build_hybrid, dense_tile_fraction
 from .formats.convert import to_coo
 from .formats.coo import COO, BinaryCOO
 from .formats.csr import CSR, BinaryCSR
@@ -118,7 +119,7 @@ class SparseOperator:
         return self.matvec(other) if other.ndim == 1 else self.matmat(other)
 
 
-_FORMATS = ("auto", "bsr", "ell", "ell-seg", "coo", "csr")
+_FORMATS = ("auto", "bsr", "ell", "ell-seg", "hybrid", "coo", "csr")
 
 # X panels above this column count get segmented so the gather engine can
 # keep each segment VMEM-resident at full lane width.
@@ -144,6 +145,12 @@ def tile_occupancy_estimate(coo, config: Config = DEFAULT) -> float:
 
 def _compile_one(coo, fmt: str, config: Config, dtype):
     if fmt == "bsr":
+        if coo.shape[1] > SEG_COLS:
+            from .formats.segmented import build_bsr_segmented
+
+            return build_bsr_segmented(
+                coo, config=config, seg_cols=SEG_COLS, dtype=dtype
+            )
         return build_bsr(coo, config=config, dtype=dtype)
     if fmt == "ell":
         if coo.shape[1] > SEG_COLS:
@@ -151,6 +158,8 @@ def _compile_one(coo, fmt: str, config: Config, dtype):
                 coo, config=config, seg_cols=SEG_COLS, dtype=dtype
             )
         return build_ell(coo, config=config, dtype=dtype)
+    if fmt == "hybrid":
+        return build_hybrid(coo, config=config, seg_cols=SEG_COLS, dtype=dtype)
     if fmt == "ell-seg":
         return build_ell_segmented(
             coo, config=config, seg_cols=SEG_COLS, dtype=dtype
@@ -182,7 +191,7 @@ def operator(
     if format not in _FORMATS:
         raise ValueError(f"format must be one of {_FORMATS}")
     if hasattr(mat, "tocoo") and not isinstance(
-        mat, (COO, BinaryCOO, CSR, BinaryCSR, EllMatrix, BsrMatrix)
+        mat, (COO, BinaryCOO, CSR, BinaryCSR, EllMatrix, BsrMatrix, HybridMatrix)
     ):
         # scipy input
         from .formats.coo import binary_coo_from_scipy, coo_from_scipy
@@ -203,9 +212,15 @@ def operator(
             vdtype = jnp.dtype(dtype)
         if vdtype in (jnp.float32, jnp.bfloat16):
             # MXU tile path only pays off when tiles are reasonably full;
-            # hypersparse structure runs the gather engine instead.
+            # mixed structure splits (hybrid); hypersparse structure runs
+            # the gather engine.
             occ = tile_occupancy_estimate(coo, config)
-            format = "bsr" if occ >= BSR_OCCUPANCY_THRESHOLD else "ell"
+            if occ >= BSR_OCCUPANCY_THRESHOLD:
+                format = "bsr"
+            elif dense_tile_fraction(coo, config) >= 0.05:
+                format = "hybrid"
+            else:
+                format = "ell"
         else:
             format = "ell"
 
@@ -218,13 +233,25 @@ def operator(
         coo = coo.pad_to(_pow2(coo.nnz_cap))
 
     row_perm = col_perm = row_inv = col_inv = None
-    if reorder == "degree":
-        from .reorder.cluster import degree_perms, invert_perm, permute_coo
+    if reorder in ("degree", "minhash", "auto"):
+        from .reorder.cluster import (
+            best_perms,
+            degree_perms,
+            invert_perm,
+            minhash_perms,
+            permute_coo,
+        )
 
-        row_perm, col_perm = degree_perms(coo)
-        row_inv = invert_perm(row_perm)
-        col_inv = invert_perm(col_perm)
-        coo = permute_coo(coo, row_perm, col_perm)
+        if reorder == "degree":
+            row_perm, col_perm = degree_perms(coo)
+        elif reorder == "minhash":
+            row_perm, col_perm = minhash_perms(coo)
+        else:
+            row_perm, col_perm = best_perms(coo)
+        if row_perm is not None:
+            row_inv = invert_perm(row_perm)
+            col_inv = invert_perm(col_perm)
+            coo = permute_coo(coo, row_perm, col_perm)
     elif reorder not in (None, "none"):
         raise ValueError(f"unknown reorder {reorder!r}")
 

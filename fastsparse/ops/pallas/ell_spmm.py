@@ -30,6 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["ell_bucket_spmm", "ELL_GROUP"]
 
 ELL_GROUP = 8  # bucket rows per grid step (>= 8 output sublanes)
+_N_ACC = 4  # independent accumulators per row (breaks VPU add latency chain)
+_KB_MAX = 16  # entries unrolled per grid step per row
 
 
 def _interpret() -> bool:
@@ -45,7 +47,9 @@ def _body(K, KB, G, cols_ref, vals_ref, x_ref, o_ref):
         o_ref[:] = jnp.zeros_like(o_ref)
 
     for g in range(G):
-        acc = None
+        # Independent accumulators break the add dependency chain (VPU
+        # add latency would otherwise serialize the unrolled loop).
+        accs = [None] * _N_ACC
         for u in range(KB):
             k = (i * G + g) * K + t * KB + u
             c = cols_ref[k]
@@ -54,7 +58,12 @@ def _body(K, KB, G, cols_ref, vals_ref, x_ref, o_ref):
             v = vals_ref[k]
             xr = x_ref[pl.ds(c, 1), :]  # (1, NB) — one VREG row
             d = xr * v
-            acc = d if acc is None else acc + d
+            a = u % _N_ACC
+            accs[a] = d if accs[a] is None else accs[a] + d
+        acc = accs[0]
+        for a in accs[1:]:
+            if a is not None:
+                acc = acc + a
         o_ref[pl.ds(g, 1), :] += acc
 
 
@@ -70,12 +79,17 @@ def _body_unit(K, KB, G, cols_ref, x_ref, o_ref):
         o_ref[:] = jnp.zeros_like(o_ref)
 
     for g in range(G):
-        acc = None
+        accs = [None] * _N_ACC
         for u in range(KB):
             k = (i * G + g) * K + t * KB + u
             c = cols_ref[k]
             xr = x_ref[pl.ds(c, 1), :]
-            acc = xr if acc is None else acc + xr
+            a = u % _N_ACC
+            accs[a] = xr if accs[a] is None else accs[a] + xr
+        acc = accs[0]
+        for a in accs[1:]:
+            if a is not None:
+                acc = acc + a
         o_ref[pl.ds(g, 1), :] += acc
 
 
@@ -94,7 +108,7 @@ def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.A
     nj = Npad // NB
     G = ELL_GROUP
     assert nb % G == 0, f"bucket nb={nb} not a multiple of {G}"
-    KB = min(8, K)
+    KB = min(_KB_MAX, K)
 
     n_scalar = 1 if unit else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(

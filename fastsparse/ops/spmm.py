@@ -59,7 +59,21 @@ def spmm(A, X):
     X = jnp.asarray(X)
     from ..formats.bsr import BsrMatrix
     from ..formats.ell import SegmentedEll
+    from ..formats.hybrid import HybridMatrix
+    from ..formats.segmented import ColSegmented
 
+    if isinstance(A, HybridMatrix):
+        Y = jnp.zeros((A.shape[0], X.shape[1]), X.dtype)
+        if A.dense is not None:
+            Y = Y + spmm(A.dense, X)
+        if A.sparse is not None:
+            Y = Y + spmm(A.sparse, X)
+        return Y
+    if isinstance(A, ColSegmented):
+        Y = jnp.zeros((A.shape[0], X.shape[1]), X.dtype)
+        for off, seg in zip(A.col_offsets, A.segments):
+            Y = Y + spmm(seg, X[off : off + seg.shape[1]])
+        return Y
     if isinstance(A, BsrMatrix):
         from .bsr_ops import bsr_spmm
 
@@ -103,10 +117,12 @@ def spmm_t(A, X):
     from ..formats.bsr import BsrMatrix
     from ..formats.ell import SegmentedEll
 
-    if isinstance(A, BsrMatrix):
+    from ..formats.segmented import ColSegmented
+
+    if isinstance(A, (BsrMatrix, ColSegmented)):
         raise TypeError(
-            "BsrMatrix has no transpose-scatter path; build the dual tiling "
-            "via fastsparse.operator(..., transpose=True) instead"
+            "tiled formats have no transpose-scatter path; build the dual "
+            "tiling via fastsparse.operator(..., transpose=True) instead"
         )
     if isinstance(A, SegmentedEll):
         parts = [spmm_t(seg, X) for seg in A.segments]

@@ -42,7 +42,21 @@ def spmv(A, x):
     x = jnp.asarray(x)
     from ..formats.bsr import BsrMatrix
     from ..formats.ell import SegmentedEll
+    from ..formats.hybrid import HybridMatrix
+    from ..formats.segmented import ColSegmented
 
+    if isinstance(A, HybridMatrix):
+        y = jnp.zeros((A.shape[0],), x.dtype)
+        if A.dense is not None:
+            y = y + spmv(A.dense, x)
+        if A.sparse is not None:
+            y = y + spmv(A.sparse, x)
+        return y
+    if isinstance(A, ColSegmented):
+        y = jnp.zeros((A.shape[0],), x.dtype)
+        for off, seg in zip(A.col_offsets, A.segments):
+            y = y + spmv(seg, x[off : off + seg.shape[1]])
+        return y
     if isinstance(A, BsrMatrix):
         from .bsr_ops import bsr_spmv
 
@@ -100,10 +114,12 @@ def spmv_t(A, x):
     from ..formats.bsr import BsrMatrix
     from ..formats.ell import SegmentedEll
 
-    if isinstance(A, BsrMatrix):
+    from ..formats.segmented import ColSegmented
+
+    if isinstance(A, (BsrMatrix, ColSegmented)):
         raise TypeError(
-            "BsrMatrix has no transpose-scatter path; build the dual tiling "
-            "via fastsparse.operator(..., transpose=True) instead"
+            "tiled formats have no transpose-scatter path; build the dual "
+            "tiling via fastsparse.operator(..., transpose=True) instead"
         )
     if isinstance(A, SegmentedEll):
         parts = [

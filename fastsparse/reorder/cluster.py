@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..formats.coo import COO, BinaryCOO
 
-__all__ = ["degree_perms", "invert_perm", "permute_coo"]
+__all__ = ["degree_perms", "minhash_perms", "best_perms", "invert_perm", "permute_coo"]
 
 
 @jax.jit
@@ -52,6 +52,97 @@ def degree_perms(coo):
         col_perm = np.argsort(-cdeg, kind="stable").astype(np.int32)
         return jnp.asarray(row_perm), jnp.asarray(col_perm)
     return _degree_perms_device(coo)
+
+
+def _mix(x, salt):
+    import numpy as np
+
+    x = (x.astype(np.uint64) + np.uint64(salt)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    x ^= x >> np.uint64(29)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(32)
+    return x
+
+
+def minhash_perms(coo, iters: int = 2, seed: int = 0):
+    """Similarity co-clustering: rows ordered by a 2-hash MinHash of their
+    column sets, columns by their minimum relabeled row — alternated.
+    Groups rows with overlapping supports (communities, shared scaffolds)
+    so their common columns land in the same tiles. Host-side.
+    """
+    import numpy as np
+
+    nrow, ncol = coo.shape
+    rows = np.asarray(coo.rows)[: coo.n_valid]
+    cols = np.asarray(coo.cols)[: coo.n_valid]
+    U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    rinv = np.arange(nrow)
+    cinv = np.arange(ncol)
+    rp = rinv
+    cp = cinv
+    for it in range(iters):
+        h1 = _mix(cols, seed + 101 + it)
+        h2 = _mix(cols, seed + 202 + it)
+        s1 = np.full(nrow, U64)
+        s2 = np.full(nrow, U64)
+        np.minimum.at(s1, rows, h1)
+        np.minimum.at(s2, rows, h2)
+        rp = np.lexsort((s2, s1))
+        rinv = np.empty(nrow, np.int64)
+        rinv[rp] = np.arange(nrow)
+        sc = np.full(ncol, np.int64(nrow))
+        np.minimum.at(sc, cols, rinv[rows])
+        cp = np.argsort(sc, kind="stable")
+        cinv = np.empty(ncol, np.int64)
+        cinv[cp] = np.arange(ncol)
+    return jnp.asarray(rp.astype(np.int32)), jnp.asarray(cp.astype(np.int32))
+
+
+def _ordering_cost(rows, cols, shape, rinv, cinv, tm=8, tk=128, thresh=64):
+    """Modeled seconds/product: dense tiles at ~50 ns each + sparse slots
+    at ~3.5 ns (measured on v5e — CLAUDE.md)."""
+    import numpy as np
+
+    r2 = rinv[rows] if rinv is not None else rows
+    c2 = cinv[cols] if cinv is not None else cols
+    nsl = max(-(-shape[1] // tk), 1)
+    pair = (r2 // tm) * nsl + c2 // tk
+    _, inv, cnt = np.unique(pair, return_inverse=True, return_counts=True)
+    dense = cnt >= thresh
+    n_dense_tiles = int(dense.sum())
+    sparse_nnz = int(cnt[~dense].sum())
+    return 50e-9 * n_dense_tiles + 3.5e-9 * 1.5 * sparse_nnz
+
+
+def best_perms(coo):
+    """Pick the ordering ({identity, degree, minhash}) minimizing the
+    modeled product cost. Returns (row_perm, col_perm) or (None, None)."""
+    import numpy as np
+
+    rows = np.asarray(coo.rows)[: coo.n_valid]
+    cols = np.asarray(coo.cols)[: coo.n_valid]
+    cands = {"none": (None, None)}
+    rp, cp = degree_perms(coo)
+    cands["degree"] = (np.asarray(rp), np.asarray(cp))
+    rp, cp = minhash_perms(coo)
+    cands["minhash"] = (np.asarray(rp), np.asarray(cp))
+    best, best_cost = "none", None
+    for name, (r, c) in cands.items():
+        rinv = cinv = None
+        if r is not None:
+            rinv = np.empty(r.size, np.int64)
+            rinv[r] = np.arange(r.size)
+            cinv = np.empty(c.size, np.int64)
+            cinv[c] = np.arange(c.size)
+        cost = _ordering_cost(rows, cols, coo.shape, rinv, cinv)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = name, cost
+    if best == "none":
+        return None, None
+    r, c = cands[best]
+    return jnp.asarray(r), jnp.asarray(c)
 
 
 @jax.jit

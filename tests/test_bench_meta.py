@@ -43,3 +43,20 @@ def test_invert_perm():
     p = jnp.asarray(np.random.default_rng(0).permutation(100).astype(np.int32))
     inv = invert_perm(p)
     np.testing.assert_array_equal(np.asarray(p)[np.asarray(inv)], np.arange(100))
+
+
+def test_minhash_and_auto_reorder():
+    import fastsparse as fs
+    from fastsparse.bench.matrices import ecfp_like
+
+    m = ecfp_like(600, 800, bits_per_compound=32, n_scaffolds=12, seed=0)
+    for reorder in ("minhash", "auto"):
+        op = fs.operator(m, reorder=reorder, transpose=True)
+        x = np.random.default_rng(1).standard_normal(800).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(op.matvec(x)), m @ x, rtol=2e-4, atol=2e-4
+        )
+        y = np.random.default_rng(2).standard_normal(600).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(op.rmatvec(y)), m.T @ y, rtol=2e-4, atol=2e-4
+        )

@@ -122,3 +122,16 @@ def test_bsr_metrics():
     assert A.nnz == m.nnz
     assert 0 < A.tile_occupancy <= 1
     assert A.padding_ratio >= 1
+
+
+def test_segmented_bsr():
+    import fastsparse as fs
+
+    m = C.random_csr(256, 700, 0.04, seed=31, dtype=np.float32)
+    S = fs.build_bsr_segmented(fs.coo_from_scipy(m, dtype=np.float32), seg_cols=256)
+    assert len(S.segments) == 3
+    np.testing.assert_allclose(np.asarray(S.todense()), m.toarray(), rtol=1e-6, atol=1e-6)
+    X = np.random.default_rng(32).standard_normal((700, 16)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fs.spmm(S, X)), m @ X, rtol=2e-5, atol=2e-5)
+    x = np.random.default_rng(33).standard_normal(700).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fs.spmv(S, x)), m @ x, rtol=2e-5, atol=2e-5)

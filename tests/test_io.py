@@ -60,3 +60,43 @@ def test_npz_cache_formats(tmp_path):
         np.testing.assert_allclose(
             np.asarray(B.todense()), np.asarray(A.todense()), rtol=1e-6
         )
+
+
+def test_native_mtx_parser(tmp_path):
+    """Native C++ parser vs scipy on general/pattern/symmetric files."""
+    import scipy.sparse as sp
+    from scipy.io import mmwrite
+
+    from fastsparse.io.native import read_mtx_native
+
+    rng = np.random.default_rng(0)
+    m = sp.random(80, 60, density=0.1, random_state=rng, format="coo")
+    p = tmp_path / "g.mtx"
+    mmwrite(p, m)
+    out = read_mtx_native(p)
+    if out is None:
+        import pytest
+
+        pytest.skip("no native compiler available")
+    rows, cols, vals, shape, sym = out
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=shape)
+    assert (ref.tocsr() != m.tocsr()).nnz == 0
+
+    # symmetric
+    s = m.tocsr()[:60, :60]
+    s = s + s.T
+    p2 = tmp_path / "s.mtx"
+    mmwrite(p2, s.tocoo(), symmetry="symmetric")
+    out2 = read_mtx_native(p2)
+    rows, cols, vals, shape, sym = out2
+    assert sym
+    ref2 = sp.coo_matrix((vals, (rows, cols)), shape=shape)
+    ref2.sum_duplicates()
+    d = (ref2.tocsr() - s.tocsr())
+    assert abs(d).max() < 1e-12
+
+    # wrapper dispatch
+    back = read_mtx(p)
+    np.testing.assert_allclose(
+        np.asarray(back.todense()), m.toarray(), rtol=1e-12
+    )

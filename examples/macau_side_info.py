@@ -34,7 +34,10 @@ def make_fingerprints(n_compounds=20_000, n_features=10_000, nnz=600_000, seed=0
 def main():
     n_latent = 32
     reg = 5.0
-    A_sp = make_fingerprints()
+    if jax.default_backend() == "tpu":
+        A_sp = make_fingerprints()
+    else:  # CPU runs Pallas in interpreter mode — keep it tiny
+        A_sp = make_fingerprints(800, 600, 24_000)
     print(f"side info: {A_sp.shape}, nnz={A_sp.nnz}")
 
     # Compile once: bitmask tiled-BSR + dual tiling, degree-clustered.

@@ -2,6 +2,7 @@ from .metrics import format_stats, tree_nbytes
 from .runner import time_fn, run_suite
 from .timing import fetch_scalar, measure_rtt, time_chain
 from .sol import measure_hbm_bw, spmm_sol_seconds, spmv_sol_seconds
+from . import matrices
 
 __all__ = [
     "format_stats",
@@ -14,4 +15,5 @@ __all__ = [
     "measure_hbm_bw",
     "spmm_sol_seconds",
     "spmv_sol_seconds",
+    "matrices",
 ]

@@ -23,6 +23,7 @@ from .ops.spmv import spmv, spmv_t
 from .ops.spmm import spmm, spmm_t
 from .ops.ata import ata_x, ata_X, aat_x
 from .ops.spgemm import spgemm, spgemm_info
+from .utils.debug import validate
 from .solvers.cg import cg, cg_normal, CGResult
 from . import io
 from . import bench
@@ -73,6 +74,7 @@ __all__ = [
     "aat_x",
     "spgemm",
     "spgemm_info",
+    "validate",
     "cg",
     "cg_normal",
     "CGResult",

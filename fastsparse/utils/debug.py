@@ -1,0 +1,110 @@
+"""Format validation & debug checks (SURVEY.md §5.2).
+
+Races are impossible in XLA's functional model; the failure modes that
+remain are *structural* — out-of-range indices, inconsistent bucket
+shapes, broken padding invariants — which silently corrupt results via
+clamped gathers / dropped scatters. `validate(A)` checks every invariant
+host-side and raises with a precise message; use it after custom format
+construction or deserialization (`io.npz_cache`). Kernel-level debugging:
+run on CPU (Pallas interpret mode is automatic off-TPU) or wrap calls in
+`jax.experimental.checkify` for traced bounds checks.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..formats.bsr import BsrMatrix
+from ..formats.coo import COO, BinaryCOO
+from ..formats.csr import CSR, BinaryCSR
+from ..formats.ell import EllMatrix, SegmentedEll
+from ..formats.hybrid import HybridMatrix
+from ..formats.segmented import ColSegmented
+
+__all__ = ["validate"]
+
+
+class FormatError(AssertionError):
+    pass
+
+
+def _check(cond, msg):
+    if not cond:
+        raise FormatError(msg)
+
+
+def validate(A) -> None:
+    """Raise FormatError if ``A`` violates its format's invariants."""
+    if isinstance(A, (COO, BinaryCOO)):
+        nrow, ncol = A.shape
+        rows = np.asarray(A.rows)[: A.n_valid]
+        cols = np.asarray(A.cols)[: A.n_valid]
+        _check(A.n_valid <= A.nnz_cap, "n_valid exceeds capacity")
+        if rows.size:
+            _check(rows.min() >= 0 and rows.max() < nrow, "row id out of range")
+            _check(cols.min() >= 0 and cols.max() < ncol, "col id out of range")
+        return
+    if isinstance(A, (CSR, BinaryCSR)):
+        nrow, ncol = A.shape
+        rp = np.asarray(A.row_ptr)
+        _check(rp.shape == (nrow + 1,), "row_ptr shape")
+        _check(rp[0] == 0 and rp[-1] == A.n_valid, "row_ptr endpoints")
+        _check((np.diff(rp) >= 0).all(), "row_ptr not monotone")
+        cols = np.asarray(A.cols)[: A.n_valid]
+        if cols.size:
+            _check(cols.min() >= 0 and cols.max() < ncol, "col id out of range")
+        return
+    if isinstance(A, EllMatrix):
+        nrow, ncol = A.shape
+        col_hi = ncol + 1 if A.unit_vals else ncol
+        for b in A.buckets:
+            _check(b.cols.shape == (b.nb, b.width), "bucket cols shape")
+            _check(b.vals.shape == (b.nb, b.width), "bucket vals shape")
+            _check(b.nb % 8 == 0, "bucket nb not sublane aligned")
+            rid = np.asarray(b.row_ids)
+            _check(
+                rid.min() >= 0 and rid.max() < max(nrow, 1),
+                "ELL row id out of range",
+            )
+            cc = np.asarray(b.cols)
+            _check(
+                cc.min() >= 0 and cc.max() < max(col_hi, 1),
+                "ELL col id out of range",
+            )
+        return
+    if isinstance(A, BsrMatrix):
+        nsp, nsl = A.n_strips, A.n_slabs
+        for b in A.buckets:
+            _check(
+                b.slab_ids.shape == (b.ns, b.ntiles), "bucket slab_ids shape"
+            )
+            sid = np.asarray(b.strip_ids)
+            _check(
+                sid.min() >= 0 and sid.max() <= nsp,
+                "strip id out of range (dump strip is n_strips)",
+            )
+            sl = np.asarray(b.slab_ids)
+            _check(
+                sl.min() >= 0 and sl.max() < max(nsl, 1),
+                "slab id out of range",
+            )
+            _check(
+                b.tiles.shape[:2] == (b.ns, b.ntiles), "tiles leading shape"
+            )
+        return
+    if isinstance(A, (SegmentedEll, ColSegmented)):
+        offs = A.col_offsets
+        _check(len(offs) == len(A.segments), "offsets/segments mismatch")
+        end = 0
+        for off, seg in zip(offs, A.segments):
+            _check(off == end, "segments not contiguous")
+            end = off + seg.shape[1]
+            validate(seg)
+        _check(end == A.shape[1], "segments do not cover all columns")
+        return
+    if isinstance(A, HybridMatrix):
+        if A.dense is not None:
+            validate(A.dense)
+        if A.sparse is not None:
+            validate(A.sparse)
+        return
+    raise TypeError(f"unsupported format {type(A).__name__}")

@@ -246,6 +246,44 @@ def pspmm(
         )(Ap.local, Xp)
 
     if schedule == "ring":
+        if engine == "bsr":
+            if Ap.blocks_bsr is None:
+                raise ValueError(
+                    "partition built without build_bsr_shards+build_blocks"
+                )
+            from ..ops.bsr_ops import bsr_spmm
+
+            nsh = Ap.n_shards
+
+            def body(blocks, Xs):
+                me = jax.lax.axis_index(axis)
+
+                def step(carry, s):
+                    buf, Y = carry
+                    q = (me + s) % nsh
+                    Ablk = _take_block(blocks, q)
+                    # tile compute on the held x-block while the next
+                    # ppermute is in flight (BASELINE.json:5 overlap)
+                    Y = Y + bsr_spmm(Ablk, buf)
+                    buf = jax.lax.ppermute(buf, axis, _ring_perm(axis))
+                    return (buf, Y), None
+
+                Y0 = _pvary(
+                    jnp.zeros((Ap.row_block, Xs.shape[1]), Xs.dtype), axis
+                )
+                (_, Y), _ = jax.lax.scan(
+                    step, (Xs, Y0), jnp.arange(nsh, dtype=jnp.int32)
+                )
+                return Y
+
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(_specs_of(Ap.blocks_bsr, axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )(Ap.blocks_bsr, Xp)
+
         if Ap.blocks is None:
             raise ValueError("partition built with build_blocks=False")
         nsh = Ap.n_shards

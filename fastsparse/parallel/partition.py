@@ -56,6 +56,7 @@ class RowPartitioned:
     blocks: Optional[COO]
     local_bsr: Optional[BsrMatrix]  # stacked tiled shards (Pallas path)
     local_bsr_t: Optional[BsrMatrix]  # stacked dual tilings of each shard's Aᵀ
+    blocks_bsr: Optional[BsrMatrix]  # (P, P)-stacked column-block tilings
     shape: tuple = static_field()  # global (nrow, ncol)
     n_shards: int = static_field()
     row_block: int = static_field()  # rows per shard (padded)
@@ -102,14 +103,15 @@ def _stack_padded(groups, row_block, col_block, cap, dtype):
     return R, Cc, V
 
 
-def _stack_bsr_shards(shard_mats, config: Config) -> BsrMatrix:
+def _stack_bsr_shards(shard_mats, config: Config, stack_shape=None) -> BsrMatrix:
     """Stack per-shard BsrMatrix pytrees into one uniform-shape container.
 
     SPMD needs identical local shapes on every device: the bucket-width set
     is the union across shards and every bucket's ``ns`` is padded to the
     per-width max (padding rows carry the dump strip id and zero tiles).
     Static metadata (nnz, tiles) becomes the aggregate — consumers only use
-    the uniform structural fields inside `shard_map`.
+    the uniform structural fields inside `shard_map`. ``stack_shape``
+    reshapes the leading stack axis (e.g. (P, P) for column blocks).
     """
     P = len(shard_mats)
     widths = sorted({b.ntiles for A in shard_mats for b in A.buckets})
@@ -145,6 +147,16 @@ def _stack_bsr_shards(shard_mats, config: Config) -> BsrMatrix:
                 ntiles=w,
             )
         )
+    if stack_shape is not None:
+        buckets = [
+            BsrBucket(
+                strip_ids=b.strip_ids.reshape(stack_shape + b.strip_ids.shape[1:]),
+                slab_ids=b.slab_ids.reshape(stack_shape + b.slab_ids.shape[1:]),
+                tiles=b.tiles.reshape(stack_shape + b.tiles.shape[1:]),
+                ntiles=b.ntiles,
+            )
+            for b in buckets
+        ]
     return BsrMatrix(
         buckets=tuple(buckets),
         shape=shard_mats[0].shape,
@@ -227,7 +239,7 @@ def partition_rows(
             n_valid=capb,
         )
 
-    local_bsr = local_bsr_t = None
+    local_bsr = local_bsr_t = blocks_bsr = None
     if build_bsr_shards:
         fwd_shards, bwd_shards = [], []
         for p in range(P):
@@ -242,12 +254,34 @@ def partition_rows(
             bwd_shards.append(build_bsr(shard_coo_t, config=config))
         local_bsr = _stack_bsr_shards(fwd_shards, config)
         local_bsr_t = _stack_bsr_shards(bwd_shards, config)
+        if build_blocks:
+            blk_mats = []
+            for p in range(P):
+                r, c, v = local_groups[p]
+                src = np.clip(c // col_block, 0, P - 1)
+                for q in range(P):
+                    sel = src == q
+                    blk_mats.append(
+                        build_bsr(
+                            COO.from_arrays(
+                                r[sel],
+                                c[sel] - q * col_block,
+                                v[sel],
+                                (row_block, col_block),
+                            ),
+                            config=config,
+                        )
+                    )
+            blocks_bsr = _stack_bsr_shards(
+                blk_mats, config, stack_shape=(P, P)
+            )
 
     return RowPartitioned(
         local=local,
         blocks=blocks,
         local_bsr=local_bsr,
         local_bsr_t=local_bsr_t,
+        blocks_bsr=blocks_bsr,
         shape=shape,
         n_shards=P,
         row_block=row_block,

@@ -116,3 +116,16 @@ def test_bsr_engine_distributed(mesh, fn):
         Z = unpad_result(Z, Ap, "cols")
         ref = m.T @ (m @ X) + 0.5 * X
         np.testing.assert_allclose(np.asarray(Z), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_ring_bsr_engine(mesh):
+    m = C.powerlaw_csr(512, 480, 7000, seed=9, dtype=np.float32)
+    Ap = shard_partitioned(
+        partition_rows(m, 8, build_bsr_shards=True), mesh
+    )
+    X = np.random.default_rng(10).standard_normal((480, 16)).astype(np.float32)
+    Y = jax.jit(
+        lambda Ap, X: pspmm(Ap, X, mesh, schedule="ring", engine="bsr")
+    )(Ap, jnp.asarray(X))
+    Y = unpad_result(Y, Ap, "rows")
+    np.testing.assert_allclose(np.asarray(Y), m @ X, rtol=2e-4, atol=2e-4)

@@ -117,6 +117,8 @@ def _numeric_chunk(C_tiles, a_chunk, b_chunk, out_chunk):
         b_chunk,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        # fp32 parity: TPU default dot precision is one-pass bf16
+        precision=jax.lax.Precision.HIGHEST,
     )
     return C_tiles.at[out_chunk].add(prod)
 

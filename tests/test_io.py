@@ -100,3 +100,44 @@ def test_native_mtx_parser(tmp_path):
     np.testing.assert_allclose(
         np.asarray(back.todense()), m.toarray(), rtol=1e-12
     )
+
+
+def test_npz_cache_all_formats(tmp_path):
+    """Every execution format (incl. nested/segmented/operator pytrees)
+    round-trips through the npz cache."""
+    import fastsparse as fs
+
+    m = C.powerlaw_csr(96, 200, 1200, seed=9, dtype=np.float32)
+    coo = coo_from_scipy(m, dtype=np.float32)
+    objs = {
+        "hybrid": fs.build_hybrid(coo, threshold=8),
+        "seg_ell": fs.build_ell_segmented(coo, seg_cols=64),
+        "seg_bsr": fs.build_bsr_segmented(coo, seg_cols=64),
+        "operator": fs.operator(m, format="bsr", dtype=np.float32),
+    }
+    x = np.random.default_rng(10).standard_normal(200).astype(np.float32)
+    for name, A in objs.items():
+        p = tmp_path / f"{name}.npz"
+        save_npz(p, A)
+        B = load_npz(p)
+        assert type(B) is type(A)
+        if name == "operator":
+            np.testing.assert_allclose(
+                np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), rtol=1e-6
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(B.todense()), np.asarray(A.todense()), rtol=1e-6
+            )
+
+
+def test_bf16_tiles():
+    import jax.numpy as jnp
+    import fastsparse as fs
+
+    m = C.random_csr(128, 160, 0.08, seed=11, dtype=np.float32)
+    A = fs.build_bsr(coo_from_scipy(m, dtype=np.float32), dtype=jnp.bfloat16)
+    X = np.random.default_rng(12).standard_normal((160, 16)).astype(np.float32)
+    Y = np.asarray(fs.spmm(A, X))
+    # bf16 tile values: ~8-bit mantissa accuracy
+    np.testing.assert_allclose(Y, m @ X, rtol=2e-2, atol=2e-2)

@@ -1,14 +1,15 @@
 """Driver benchmark: one JSON line with the headline metric.
 
-Headline (BASELINE.json:9, config 3): Macau/SMURFF-style binary multi-RHS
-SpMM ``Y = A @ X`` (N=128) on a power-law matrix, degree-clustered bitmask
-tiled-BSR, Pallas MXU kernels. ``vs_baseline`` is measured nnz/s divided by
-the target — 80 % of the speed-of-light HBM-bound nnz/s computed from the
-chip's *measured* bandwidth (BASELINE.json:5; SURVEY.md §6).
+Headline (BASELINE.json:9, config 3): Macau/SMURFF-style **blocked/BSR
+binary multi-RHS SpMM** ``Y = A @ X`` (N=128) — bitmask tiled-BSR through
+the Pallas MXU kernels (binary fp32-parity 3-pass path, column-segmented
+VMEM-resident X). ``vs_baseline`` is measured nnz/s over the target: 80 %
+of the speed-of-light HBM-bound nnz/s from the chip's *measured* bandwidth
+(BASELINE.json:5; SURVEY.md §6). The hypersparse power-law case (gather
+engine) is reported in ``detail``.
 """
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -16,65 +17,67 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    import scipy.sparse as sp
 
     sys.path.insert(0, ".")
     import fastsparse as fs
+    from fastsparse.bench.matrices import banded, powerlaw
+    from fastsparse.bench.sol import measure_hbm_bw, spmm_sol_seconds
+    from fastsparse.bench.timing import time_fn
     from fastsparse.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    from fastsparse.bench.sol import measure_hbm_bw, spmm_sol_seconds
-
-    nrow = ncol = 65_536
-    nnz_target = 4_000_000
     n_rhs = 128
     rng = np.random.default_rng(0)
-    alpha = 1.6
-    r = (nrow * (rng.random(nnz_target) ** alpha)).astype(np.int64) % nrow
-    c = (ncol * (rng.random(nnz_target) ** alpha)).astype(np.int64) % ncol
-    m = sp.coo_matrix((np.ones(nnz_target, np.float32), (r, c)), shape=(nrow, ncol))
-    m.sum_duplicates()
-    m.data[:] = 1.0
-    m = m.tocsr()
-    nnz = int(m.nnz)
 
-    # hypersparse structure -> the ELL gather engine; coarse bucket widths
-    # bound the compiled-program count (remote compiles are slow).
-    cfg = fs.Config(ell_bucket_widths=(8, 32, 128, 512, 2048, 8192))
-    op = fs.operator(m, transpose=False, reorder="degree", config=cfg)
-    X = jnp.asarray(rng.standard_normal((ncol, n_rhs)), jnp.float32)
-
-    from fastsparse.bench.timing import time_fn
-
+    # --- headline: blocked binary SpMM (config 3) ------------------------
+    mb = banded(50_000, 512, seed=4, density=0.39)
+    mb.data[:] = 1.0
+    nnz = int(mb.nnz)
+    op = fs.operator(mb, format="bsr", transpose=False)
+    X = jnp.asarray(rng.standard_normal((mb.shape[1], n_rhs)), jnp.float32)
     step = jax.jit(lambda op, X: op.matmat(X))
-    Y = step(op, X)
-    # correctness spot check on a slice
-    ref = m[:256] @ np.asarray(X)
-    err = float(np.abs(np.asarray(Y)[:256] - ref).max())
-    assert err < 1e-2 * max(float(np.abs(ref).max()), 1.0), f"wrong result: {err}"
-
+    Y = np.asarray(step(op, X))
+    ref = mb[:256] @ np.asarray(X)
+    err = float(np.abs(Y[:256] - ref).max() / (np.abs(ref).max() + 1e-30))
+    assert err < 2e-5, f"wrong result: rel={err}"
     dt = time_fn(step, op, X, reps=20)
 
     bw = measure_hbm_bw()
-    sol = spmm_sol_seconds(nrow, ncol, nnz, n_rhs, bw, binary=True)
+    sol = spmm_sol_seconds(*mb.shape, nnz, n_rhs, bw, binary=True)
     nnz_s = nnz / dt
-    sol_nnz_s = nnz / sol
-    target = 0.80 * sol_nnz_s
+    target = 0.80 * (nnz / sol)
+
+    # --- detail: hypersparse power-law via the gather engine -------------
+    mp = powerlaw(65_536, 65_536, 4_000_000, seed=0, binary=True)
+    opp = fs.operator(mp, transpose=False, reorder="degree")
+    Xp = jnp.asarray(rng.standard_normal((mp.shape[1], n_rhs)), jnp.float32)
+    stepp = jax.jit(lambda op, X: op.matmat(X))
+    Yp = np.asarray(stepp(opp, Xp))
+    refp = mp[:256] @ np.asarray(Xp)
+    errp = float(np.abs(Yp[:256] - refp).max() / (np.abs(refp).max() + 1e-30))
+    assert errp < 2e-5, f"wrong hypersparse result: rel={errp}"
+    dtp = time_fn(stepp, opp, Xp, reps=10)
 
     print(
         json.dumps(
             {
-                "metric": "binary_bsr_spmm_n128_nnz_per_s",
+                "metric": "binary_blocked_bsr_spmm_n128_nnz_per_s",
                 "value": round(nnz_s, 1),
                 "unit": "nnz/s",
                 "vs_baseline": round(nnz_s / target, 4),
                 "detail": {
                     "ms_per_spmm": round(dt * 1e3, 3),
                     "gflops": round(2 * nnz * n_rhs / dt / 1e9, 1),
+                    "rel_err": err,
                     "hbm_bw_GBs": round(bw / 1e9, 1),
-                    "sol_nnz_per_s": round(sol_nnz_s, 1),
-                    "sol_fraction": round(nnz_s / sol_nnz_s, 4),
-                    "matrix": f"{nrow}x{ncol} powerlaw nnz={nnz}",
+                    "sol_fraction": round(nnz_s / (nnz / sol), 4),
+                    "matrix": f"banded 50k bw512 binary nnz={nnz}",
+                    "hypersparse_powerlaw": {
+                        "ms": round(dtp * 1e3, 3),
+                        "nnz_per_s": round(mp.nnz / dtp, 1),
+                        "rel_err": errp,
+                        "matrix": f"65536^2 powerlaw nnz={int(mp.nnz)}",
+                    },
                     "n_rhs": n_rhs,
                     "backend": jax.default_backend(),
                 },

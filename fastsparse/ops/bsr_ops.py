@@ -87,9 +87,20 @@ def bsr_spmm(
     Npad = _round_up(N, n_block)
     Xp = jnp.zeros((nsl * TK, Npad), X.dtype).at[:ncol, :N].set(X)
 
+    # binary fp32-parity fast path ships X as 3 stacked bf16 planes
+    # (x = x0+x1+x2 to ~24 bits; the 0/1 mask is exact in bf16): 3 one-pass
+    # MXU products per tile instead of HIGHEST's 6.
+    binary3 = A.binary and precision == "highest"
+    itemsize = 6 if binary3 else X.dtype.itemsize
     strategy = pick_strategy(
-        nsl, TK, n_block, X.dtype.itemsize, A.padded_tiles, Npad // n_block
+        nsl, TK, n_block, itemsize, A.padded_tiles, Npad // n_block
     )
+    if binary3 and strategy == "resident":
+        x0 = Xp.astype(jnp.bfloat16)
+        r1 = Xp - x0.astype(jnp.float32)
+        x1 = r1.astype(jnp.bfloat16)
+        x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+        Xp = jnp.concatenate([x0, x1, x2], axis=0)
 
     # Dump strip nsp catches padding bucket slots (strip_ids == nsp).
     Y = jnp.zeros((nsp + 1, TM, Npad), X.dtype)

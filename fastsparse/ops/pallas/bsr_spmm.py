@@ -113,6 +113,35 @@ def _spmm_resident_body(binary, TK, TM, SG, TB, T, prec, slab_ref, tiles_ref, x_
         o_ref[pl.ds(g * TM, TM), :] += acc
 
 
+def _spmm_resident_body_binary3(TK, TM, SG, TB, T, K_all, slab_ref, tiles_ref, x_ref, o_ref):
+    """Binary fp32-parity fast path: the 0/1 mask is exact in bf16, so
+    splitting X into three bf16 planes (x = x0+x1+x2, ~24 mantissa bits)
+    needs only 3 one-pass bf16 MXU products per tile instead of HIGHEST's
+    6 — same rtol-1e-6 parity, ~2x the MXU throughput. ``x_ref`` holds the
+    three planes stacked: (3*K_all, NB) bf16."""
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    mats = _block_mats(tiles_ref[:], True, TK, jnp.bfloat16)
+    for g in range(SG):
+        acc = None
+        for u in range(TB):
+            slab = slab_ref[(i * SG + g) * T + t * TB + u]
+            d = None
+            for plane in range(3):
+                xs = x_ref[pl.ds(plane * K_all + slab * TK, TK), :]
+                dp = jnp.dot(
+                    mats[g, u], xs, preferred_element_type=o_ref.dtype
+                )
+                d = dp if d is None else d + dp
+            acc = d if acc is None else acc + d
+        o_ref[pl.ds(g * TM, TM), :] += acc
+
+
 def _spmm_streamed_body(binary, TK, prec, slab_ref, tiles_ref, x_ref, o_ref):
     t = pl.program_id(2)
 
@@ -155,19 +184,31 @@ def bucket_spmm(
         else jax.lax.Precision.DEFAULT
     )
     ns, T = slab_ids.shape
+    # binary fp32-parity path: X arrives as 3 stacked bf16 planes
+    binary3 = binary and precision == "highest" and strategy == "resident"
     K_all, Npad = x.shape
+    if binary3:
+        K_all //= 3
     NB = n_block
     nj = Npad // NB
-    out_dtype = x.dtype
+    out_dtype = jnp.float32 if binary3 else x.dtype
 
     if strategy == "resident":
         SG = _SG if ns % _SG == 0 else 1
         TB = _TB if T % _TB == 0 else (2 if T % 2 == 0 else 1)
-        body = functools.partial(
-            _spmm_resident_body, binary, tile_k, tile_m, SG, TB, T, prec
-        )
+        if binary3:
+            body = functools.partial(
+                _spmm_resident_body_binary3,
+                tile_k, tile_m, SG, TB, T, K_all,
+            )
+        else:
+            body = functools.partial(
+                _spmm_resident_body, binary, tile_k, tile_m, SG, TB, T, prec
+            )
         x_spec = pl.BlockSpec(
-            (K_all, NB), lambda j, i, t, s: (0, j), memory_space=pltpu.VMEM
+            x.shape[:1] + (NB,),
+            lambda j, i, t, s: (0, j),
+            memory_space=pltpu.VMEM,
         )
         tiles_spec = pl.BlockSpec(
             (SG, TB, tile_m, tiles.shape[-1]),

@@ -135,3 +135,16 @@ def test_segmented_bsr():
     np.testing.assert_allclose(np.asarray(fs.spmm(S, X)), m @ X, rtol=2e-5, atol=2e-5)
     x = np.random.default_rng(33).standard_normal(700).astype(np.float32)
     np.testing.assert_allclose(np.asarray(fs.spmv(S, x)), m @ x, rtol=2e-5, atol=2e-5)
+
+
+def test_precision_modes():
+    """precision='default' (1-pass bf16) returns looser but sane results."""
+    m = C.random_csr(96, 128, 0.1, seed=41, dtype=np.float32)
+    A = build_bsr(coo_from_scipy(m, dtype=np.float32))
+    X = np.random.default_rng(42).standard_normal((128, 16)).astype(np.float32)
+    ref = m @ X
+    hi = np.asarray(bsr_spmm(A, X))
+    lo = np.asarray(bsr_spmm(A, X, precision="default"))
+    scale = np.abs(ref).max()
+    assert np.abs(hi - ref).max() / scale < 2e-6
+    assert np.abs(lo - ref).max() / scale < 2e-2

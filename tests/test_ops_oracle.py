@@ -128,3 +128,26 @@ def test_property_linearity():
     lhs = fs.spmv(A, jnp.asarray(2.0 * x1 + 3.0 * x2))
     rhs = 2.0 * fs.spmv(A, jnp.asarray(x1)) + 3.0 * fs.spmv(A, jnp.asarray(x2))
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=1e-10, atol=1e-12)
+
+
+def test_ata_helpers():
+    """ops.ata convenience functions (reference bcsr_AA_mul_B parity)."""
+    import fastsparse as fs
+
+    m = random_csr(120, 90, 0.08, seed=51)
+    coo = fs.coo_from_scipy(m)
+    x = np.random.default_rng(52).standard_normal(90)
+    y = np.random.default_rng(53).standard_normal(120)
+    np.testing.assert_allclose(
+        np.asarray(fs.ata_x(coo, x, reg=0.5)),
+        m.T @ (m @ x) + 0.5 * x, rtol=1e-10
+    )
+    X = np.random.default_rng(54).standard_normal((90, 4))
+    np.testing.assert_allclose(
+        np.asarray(fs.ata_X(coo, X, reg=0.25)),
+        m.T @ (m @ X) + 0.25 * X, rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(fs.aat_x(coo, y, reg=0.1)),
+        m @ (m.T @ y) + 0.1 * y, rtol=1e-10
+    )

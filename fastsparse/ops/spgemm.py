@@ -111,16 +111,27 @@ def _symbolic(A, B, config: Config):
 
 
 @jax.jit
-def _numeric_chunk(C_tiles, a_chunk, b_chunk, out_chunk):
-    prod = jax.lax.dot_general(
-        a_chunk,
-        b_chunk,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        # fp32 parity: TPU default dot precision is one-pass bf16
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return C_tiles.at[out_chunk].add(prod)
+def _numeric_scan(C_tiles, a_tiles, b_tiles, ai, bi, oi):
+    """All pair-chunk contractions in one jitted scan (one dispatch).
+
+    ai/bi/oi: int32[n_chunks, chunk]; padding pairs point oi at the dump
+    tile (last row of C_tiles, sliced off by the caller).
+    """
+
+    def step(C, idx):
+        a_idx, b_idx, o_idx = idx
+        prod = jax.lax.dot_general(
+            a_tiles[a_idx],
+            b_tiles[b_idx],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            # fp32 parity: TPU default dot precision is one-pass bf16
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return C.at[o_idx].add(prod), None
+
+    C_tiles, _ = jax.lax.scan(step, C_tiles, (ai, bi, oi))
+    return C_tiles
 
 
 def spgemm(A, B, config: Config = DEFAULT) -> Tuple[COO, dict]:
@@ -135,33 +146,29 @@ def spgemm(A, B, config: Config = DEFAULT) -> Tuple[COO, dict]:
     a_tiles, b_tiles, ai, bi, uout, out_idx, (ma, ka, nb), n_jslabs = sym
 
     nt_out = max(int(uout.size), 1)
-    C_tiles = jnp.zeros((nt_out, TM, TK), jnp.float32)
+    # +1 dump tile catches padding pairs
+    C_tiles = jnp.zeros((nt_out + 1, TM, TK), jnp.float32)
     n_pairs = info["n_pairs"]
     if n_pairs:
-        step = _PAIR_CHUNK
-        ai_j = jnp.asarray(ai)
-        bi_j = jnp.asarray(bi)
-        oi_j = jnp.asarray(out_idx)
-        for p0 in range(0, n_pairs, step):
-            p1 = min(p0 + step, n_pairs)
-            if p1 - p0 < step and p0 > 0:
-                # pad the tail chunk so every chunk shares one program
-                pad = step - (p1 - p0)
-                a_idx = jnp.concatenate([ai_j[p0:p1], jnp.zeros(pad, ai_j.dtype)])
-                b_idx = jnp.concatenate([bi_j[p0:p1], jnp.zeros(pad, bi_j.dtype)])
-                o_idx = jnp.concatenate(
-                    [oi_j[p0:p1], jnp.full(pad, nt_out - 1, oi_j.dtype)]
-                )
-                a_chunk = a_tiles[a_idx] * jnp.concatenate(
-                    [jnp.ones(p1 - p0), jnp.zeros(pad)]
-                ).astype(jnp.float32).reshape(-1, 1, 1)
-            else:
-                a_idx, b_idx, o_idx = ai_j[p0:p1], bi_j[p0:p1], oi_j[p0:p1]
-                a_chunk = a_tiles[a_idx]
-            C_tiles = _numeric_chunk(C_tiles, a_chunk, b_tiles[b_idx], o_idx)
+        chunk = min(_PAIR_CHUNK, max(n_pairs, 1))
+        n_chunks = -(-n_pairs // chunk)
+        pad = n_chunks * chunk - n_pairs
+        ai_j = np.concatenate([ai, np.zeros(pad, ai.dtype)])
+        bi_j = np.concatenate([bi, np.zeros(pad, bi.dtype)])
+        oi_j = np.concatenate(
+            [out_idx, np.full(pad, nt_out, out_idx.dtype)]
+        )
+        C_tiles = _numeric_scan(
+            C_tiles,
+            a_tiles,
+            b_tiles,
+            jnp.asarray(ai_j.reshape(n_chunks, chunk), jnp.int32),
+            jnp.asarray(bi_j.reshape(n_chunks, chunk), jnp.int32),
+            jnp.asarray(oi_j.reshape(n_chunks, chunk), jnp.int32),
+        )
 
     # exact-nnz compaction back to COO (host roundtrip for the indices)
-    C_host = np.asarray(C_tiles)
+    C_host = np.asarray(C_tiles)[:nt_out]
     strips = uout // n_jslabs
     jslabs = uout % n_jslabs
     t, r, c = np.nonzero(C_host)

@@ -151,10 +151,36 @@ def bsr_spmv(A: BsrMatrix, x) -> jax.Array:
 
 
 def _as_coo(A: BsrMatrix):
-    """Decompress a BsrMatrix to COO (slow; fallback paths only)."""
-    from ..formats.coo import coo_from_scipy
+    """Decompress a BsrMatrix to COO per bucket (fallback paths only —
+    never densifies the full matrix)."""
     import numpy as np
-    import scipy.sparse as sp
 
-    dense = np.asarray(jax.device_get(A.todense()))
-    return coo_from_scipy(sp.coo_matrix(dense))
+    from ..formats.bsr import expand_bits_reference
+    from ..formats.coo import COO
+
+    TM, TK = A.tile_m, A.tile_k
+    nsp = A.n_strips
+    rows_l, cols_l, vals_l = [], [], []
+    for b in A.buckets:
+        tiles = (
+            np.asarray(expand_bits_reference(b.tiles, TK))
+            if A.binary
+            else np.asarray(b.tiles)
+        )
+        sids = np.asarray(b.strip_ids)
+        slabs = np.asarray(b.slab_ids)
+        i, t, r, c = np.nonzero(tiles)  # padding tiles are all-zero
+        keep = sids[i] < nsp
+        i, t, r, c = i[keep], t[keep], r[keep], c[keep]
+        rows_l.append(sids[i] * TM + r)
+        cols_l.append(slabs[i, t] * TK + c)
+        vals_l.append(tiles[i, t, r, c])
+    if rows_l:
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
+        vals = np.concatenate(vals_l)
+    else:
+        rows = cols = np.zeros(0, np.int64)
+        vals = np.zeros(0, np.float32)
+    keep = (rows < A.shape[0]) & (cols < A.shape[1])
+    return COO.from_arrays(rows[keep], cols[keep], vals[keep], A.shape)

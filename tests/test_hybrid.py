@@ -54,3 +54,29 @@ def test_dense_tile_fraction_bounds():
     m = C.random_csr(256, 256, 0.01, seed=11, dtype=np.float32)
     f = dense_tile_fraction(fs.coo_from_scipy(m, dtype=np.float32))
     assert 0.0 <= f <= 1.0
+
+
+def test_integration_macau_loop():
+    """End-to-end auto pipeline + CG on a clustered binary matrix (the
+    Macau/SMURFF inner loop, SURVEY.md §3.3) — integration test."""
+    import jax
+    import jax.numpy as jnp
+    import fastsparse as fs
+
+    m = ecfp_like(500, 300, bits_per_compound=24, n_scaffolds=10, seed=20)
+    op = fs.operator(m, reorder="auto")
+    rng = np.random.default_rng(21)
+    R = jnp.asarray(rng.standard_normal((500, 8)), jnp.float32)
+
+    @jax.jit
+    def inner(op, R):
+        rhs = op.rmatmat(R)
+        sol = fs.cg_normal(op, rhs, reg=2.0, tol=1e-6, maxiter=200)
+        return sol.x, sol.iters
+
+    V, iters = inner(op, R)
+    # verify against dense solve
+    A = m.toarray()
+    ref = np.linalg.solve(A.T @ A + 2.0 * np.eye(300), A.T @ np.asarray(R))
+    np.testing.assert_allclose(np.asarray(V), ref, rtol=5e-3, atol=5e-3)
+    assert int(iters) < 200

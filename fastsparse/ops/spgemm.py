@@ -134,12 +134,15 @@ def _numeric_scan(C_tiles, a_tiles, b_tiles, ai, bi, oi):
     return C_tiles
 
 
-def spgemm(A, B, config: Config = DEFAULT) -> Tuple[COO, dict]:
-    """``C = A @ B``. Returns (C as COO with exact nnz, info dict).
+def spgemm(A, B, config: Config = DEFAULT, out_format: str = "coo"):
+    """``C = A @ B``. Returns (C, info).
 
+    ``out_format='coo'`` compacts to exact-nnz COO; ``'bsr'`` returns the
+    product directly as a tiled BsrMatrix (C is computed tile-wise, so
+    this skips a round-trip and chains into further products/SpMM).
     ``info`` carries the fused estimation: ``est_nnz`` (symbolic upper
-    bound, available before numerics), ``nnz`` (exact, post-compaction),
-    ``n_pairs``/``flops`` (numeric work).
+    bound, available before numerics), ``nnz`` (exact for 'coo'; tile
+    upper bound for 'bsr'), ``n_pairs``/``flops`` (numeric work).
     """
     TM, TK = config.tile_m, config.tile_k
     info, sym = _symbolic(A, B, config)
@@ -167,6 +170,13 @@ def spgemm(A, B, config: Config = DEFAULT) -> Tuple[COO, dict]:
             jnp.asarray(oi_j.reshape(n_chunks, chunk), jnp.int32),
         )
 
+    if out_format == "bsr":
+        C = _tiles_to_bsr(
+            C_tiles[:nt_out], uout, (ma, nb), n_jslabs, TM, TK, config
+        )
+        info["nnz"] = info["est_nnz"]
+        return C, info
+
     # exact-nnz compaction back to COO (host roundtrip for the indices)
     C_host = np.asarray(C_tiles)[:nt_out]
     strips = uout // n_jslabs
@@ -180,3 +190,67 @@ def spgemm(A, B, config: Config = DEFAULT) -> Tuple[COO, dict]:
     info["nnz"] = int(rows.size)
     C = COO.from_arrays(rows, cols, vals.astype(np.float32), (ma, nb))
     return C, info
+
+
+def _tiles_to_bsr(C_tiles, uout, shape, n_jslabs, TM, TK, config):
+    """Package the dense product tiles as a bucketed BsrMatrix."""
+    from ..formats.bsr import BsrBucket, BsrMatrix
+
+    def _pow2(x):
+        return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
+
+    strips = (uout // n_jslabs).astype(np.int64)
+    jslabs = (uout % n_jslabs).astype(np.int32)
+    nsp = -(-shape[0] // TM)
+    tiles_per_strip = np.bincount(strips, minlength=nsp)
+    first = np.zeros(nsp, np.int64)
+    np.cumsum(tiles_per_strip[:-1], out=first[1:])
+    widths = sorted({int(t) for t in config.bsr_bucket_tiles})
+    maxT = int(tiles_per_strip.max()) if uout.size else 1
+    if maxT > widths[-1]:
+        widths.append(_pow2(maxT))
+    T_of = np.zeros(nsp, np.int64)
+    for w in reversed(widths):
+        T_of[tiles_per_strip <= w] = w
+    T_of[tiles_per_strip == 0] = 0
+
+    buckets = []
+    padded = 0
+    for w in widths:
+        sel = np.nonzero(T_of == w)[0]
+        if sel.size == 0:
+            continue
+        ns = _pow2(max(sel.size, 8))
+        strip_ids = np.full(ns, nsp, np.int32)
+        strip_ids[: sel.size] = sel
+        slab_ids = np.zeros((ns, w), np.int32)
+        gather = np.zeros((ns, w), np.int64)  # index into C_tiles (+1 pad)
+        for k, sid in enumerate(sel):
+            cnt = tiles_per_strip[sid]
+            lo = first[sid]
+            slab_ids[k, :cnt] = jslabs[lo : lo + cnt]
+            gather[k, :cnt] = np.arange(lo, lo + cnt) + 1
+        # gather==0 -> zero pad tile (C_pad row 0)
+        C_pad = jnp.concatenate(
+            [jnp.zeros((1, TM, TK), jnp.float32), C_tiles], axis=0
+        )
+        tiles = C_pad[jnp.asarray(gather)]
+        buckets.append(
+            BsrBucket(
+                strip_ids=jnp.asarray(strip_ids),
+                slab_ids=jnp.asarray(slab_ids),
+                tiles=tiles,
+                ntiles=w,
+            )
+        )
+        padded += ns * w
+    return BsrMatrix(
+        buckets=tuple(buckets),
+        shape=tuple(shape),
+        nnz=int(uout.size) * TM * TK,
+        n_tiles=int(uout.size),
+        padded_tiles=padded,
+        tile_m=TM,
+        tile_k=TK,
+        binary=False,
+    )

@@ -65,3 +65,21 @@ def test_mismatched_dims():
     B = C.random_csr(30, 10, 0.1, seed=10)
     with pytest.raises(ValueError):
         spgemm(A, B)
+
+
+def test_spgemm_bsr_output():
+    import numpy as np
+
+    A = C.random_csr(120, 90, 0.06, seed=20, dtype=np.float32)
+    B = C.random_csr(90, 140, 0.06, seed=21, dtype=np.float32)
+    Cb, info = spgemm(A, B, out_format="bsr")
+    from fastsparse import BsrMatrix
+
+    assert isinstance(Cb, BsrMatrix)
+    ref = (A @ B).toarray()
+    np.testing.assert_allclose(np.asarray(Cb.todense()), ref, rtol=1e-5, atol=1e-5)
+    # usable directly for further products
+    from fastsparse import spmm
+
+    X = np.random.default_rng(22).standard_normal((140, 8)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(spmm(Cb, X)), ref @ X, rtol=1e-4, atol=1e-4)

@@ -39,12 +39,7 @@ from .csr import CSR, BinaryCSR
 __all__ = ["EllBucket", "EllMatrix", "SegmentedEll", "build_ell", "build_ell_segmented"]
 
 
-def _ceil_pow2(x: int) -> int:
-    return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ..utils.shapes import ceil_pow2 as _ceil_pow2, round_up as _round_up
 
 
 @pytree_dataclass

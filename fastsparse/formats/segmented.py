@@ -19,14 +19,11 @@ import numpy as np
 
 from ..config import DEFAULT, Config
 from ..utils.pytree import pytree_dataclass, static_field
+from ..utils.shapes import ceil_pow2 as _ceil_pow2
 from .coo import BinaryCOO, COO
 from .csr import CSR, BinaryCSR
 
 __all__ = ["ColSegmented", "segment_coo", "build_bsr_segmented"]
-
-
-def _ceil_pow2(x: int) -> int:
-    return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
 
 
 @pytree_dataclass

@@ -29,8 +29,7 @@ _PALLAS_DTYPES = (jnp.float32, jnp.bfloat16)
 _SMEM_IDX_BUDGET = 64 * 1024  # int32 entries -> 256 KB
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ..utils.shapes import round_up as _round_up
 
 
 def _bucket_chunks(b, dump_strip: int):

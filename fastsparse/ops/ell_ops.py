@@ -20,8 +20,7 @@ _SMEM_IDX_BUDGET = 32 * 1024  # flat entries per call (cols + vals in SMEM)
 X_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ..utils.shapes import round_up as _round_up
 
 
 def gather_engine_supported(dtype) -> bool:

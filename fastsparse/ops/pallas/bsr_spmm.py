@@ -47,8 +47,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ...utils.shapes import round_up as _round_up
 
 
 def _expand_bits(words, tile_k: int, dtype):

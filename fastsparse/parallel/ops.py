@@ -141,15 +141,43 @@ def _pvary(x, axis: str):
     return x  # pragma: no cover - ancient JAX: vma types don't exist
 
 
-def pspmv(Ap: RowPartitioned, x, mesh: Mesh, *, schedule: str = "allgather", axis: str = "rows"):
+def pspmv(
+    Ap: RowPartitioned,
+    x,
+    mesh: Mesh,
+    *,
+    schedule: str = "allgather",
+    axis: str = "rows",
+    engine: str = "coo",
+):
     """Distributed ``y = A @ x``.
 
     ``x``: f[ncol] replicated or sharded; returns y sharded over rows
     (padded extent P·row_block; `unpad_result` trims). Must be called under
     a mesh context or with sharded inputs created by `shard_partitioned`.
+    ``engine='bsr'`` runs each shard through the Pallas tile kernels.
     """
     xp = pad_operand(x, Ap, "cols")
     if schedule == "allgather":
+        if engine == "bsr":
+            if Ap.local_bsr is None:
+                raise ValueError(
+                    "partition built without build_bsr_shards=True"
+                )
+            from ..ops.bsr_ops import bsr_spmv
+
+            def body(local, xs):
+                A = _local(local)
+                x_full = jax.lax.all_gather(xs, axis, tiled=True)
+                return bsr_spmv(A, x_full)
+
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(_specs_of(Ap.local_bsr, axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )(Ap.local_bsr, xp)
 
         def body(local, xs):
             A = _local(local)

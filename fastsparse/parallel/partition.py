@@ -37,8 +37,7 @@ from ..utils.pytree import pytree_dataclass, static_field
 __all__ = ["RowPartitioned", "partition_rows"]
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ..utils.shapes import ceil_pow2 as _ceil_pow2, round_up as _round_up
 
 
 @pytree_dataclass

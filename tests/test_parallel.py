@@ -129,3 +129,16 @@ def test_ring_bsr_engine(mesh):
     )(Ap, jnp.asarray(X))
     Y = unpad_result(Y, Ap, "rows")
     np.testing.assert_allclose(np.asarray(Y), m @ X, rtol=2e-4, atol=2e-4)
+
+
+def test_pspmv_bsr_engine(mesh):
+    m = C.powerlaw_csr(512, 400, 6000, seed=12, dtype=np.float32)
+    Ap = shard_partitioned(
+        partition_rows(m, 8, build_blocks=False, build_bsr_shards=True), mesh
+    )
+    x = np.random.default_rng(13).standard_normal(400).astype(np.float32)
+    y = jax.jit(lambda Ap, x: pspmv(Ap, x, mesh, engine="bsr"))(
+        Ap, jnp.asarray(x)
+    )
+    y = unpad_result(y, Ap, "rows")
+    np.testing.assert_allclose(np.asarray(y), m @ x, rtol=2e-4, atol=2e-4)

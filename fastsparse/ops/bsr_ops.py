@@ -95,11 +95,27 @@ def bsr_spmm(
         nsl, TK, n_block, itemsize, A.padded_tiles, Npad // n_block
     )
     if binary3 and strategy == "resident":
-        x0 = Xp.astype(jnp.bfloat16)
-        r1 = Xp - x0.astype(jnp.float32)
-        x1 = r1.astype(jnp.bfloat16)
-        x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
-        Xp = jnp.concatenate([x0, x1, x2], axis=0)
+        # Split via mantissa bit-masking, NOT bf16 cast round-trips: the
+        # terminal forces --xla_allow_excess_precision, which elides
+        # bf16->f32->subtract chains and collapses the planes to one.
+        u = jax.lax.bitcast_convert_type(Xp, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+        r1 = Xp - hi  # exact: hi carries the top 16 bits
+        u1 = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+        h1 = jax.lax.bitcast_convert_type(
+            u1 & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+        x2 = r1 - h1  # exact residual (rounded once by the bf16 cast below)
+        Xp = jnp.concatenate(
+            [
+                hi.astype(jnp.bfloat16),  # exact: already bf16-representable
+                h1.astype(jnp.bfloat16),  # exact
+                x2.astype(jnp.bfloat16),
+            ],
+            axis=0,
+        )
 
     # Dump strip nsp catches padding bucket slots (strip_ids == nsp).
     Y = jnp.zeros((nsp + 1, TM, Npad), X.dtype)

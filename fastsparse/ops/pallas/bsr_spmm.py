@@ -125,17 +125,18 @@ def _spmm_resident_body_binary3(TK, TM, SG, TB, T, K_all, slab_ref, tiles_ref, x
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    mats = _block_mats(tiles_ref[:], True, TK, jnp.bfloat16)
+    # expand to f32 batched (proven path), cast 2-D tiles to bf16 at use:
+    # Mosaic miscompiles the 4-D bool -> bf16 select (relayout bug).
+    mats = _block_mats(tiles_ref[:], True, TK, jnp.float32)
     for g in range(SG):
         acc = None
         for u in range(TB):
             slab = slab_ref[(i * SG + g) * T + t * TB + u]
+            a = mats[g, u].astype(jnp.bfloat16)
             d = None
             for plane in range(3):
                 xs = x_ref[pl.ds(plane * K_all + slab * TK, TK), :]
-                dp = jnp.dot(
-                    mats[g, u], xs, preferred_element_type=o_ref.dtype
-                )
+                dp = jnp.dot(a, xs, preferred_element_type=o_ref.dtype)
                 d = dp if d is None else d + dp
             acc = d if acc is None else acc + d
         o_ref[pl.ds(g * TM, TM), :] += acc

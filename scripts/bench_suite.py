@@ -75,31 +75,44 @@ def cpu_configs():
 
 
 def tpu_configs():
+    import os
+
+    only = [t for t in os.environ.get("FS_SUITE_ONLY", "").split(",") if t]
+
+    def want(tag):
+        return not only or tag in only
+
     bw = measure_hbm_bw()
     rng = np.random.default_rng(1)
 
     # BASELINE config 2: COO SpMV with reordering, power-law, fp32
     m = powerlaw(20_000, 20_000, 1_000_000, seed=0, dtype=np.float32)
-    op = fs.operator(m, reorder="auto", transpose=False, dtype=np.float32)
-    x = jnp.asarray(rng.standard_normal(20_000), jnp.float32)
-    f = jax.jit(lambda op, x: op.matvec(x))
-    rel = check(f(op, x), m @ np.asarray(x), 2e-4, "spmv-powerlaw")
-    dt = time_fn(f, op, x, reps=10)
-    sol = spmv_sol_seconds(*m.shape, m.nnz, bw, binary=False)
-    record(
-        "2 fp32 SpMV powerlaw 20k^2",
-        "spmv_nnz_per_s",
-        m.nnz / dt,
-        "nnz/s",
-        {"ms": round(dt * 1e3, 3), "rel_err": rel, "sol_frac": round(sol / dt, 4)},
-    )
+    if not want("2"):
+        m = None
+    op = fs.operator(m, reorder="auto", transpose=False, dtype=np.float32) if m is not None else None
+    if op is not None:
+        x = jnp.asarray(rng.standard_normal(20_000), jnp.float32)
+        f = jax.jit(lambda op, x: op.matvec(x))
+        rel = check(f(op, x), m @ np.asarray(x), 2e-4, "spmv-powerlaw")
+        dt = time_fn(f, op, x, reps=10)
+        sol = spmv_sol_seconds(*m.shape, m.nnz, bw, binary=False)
+        record(
+            "2 fp32 SpMV powerlaw 20k^2",
+            "spmv_nnz_per_s",
+            m.nnz / dt,
+            "nnz/s",
+            {"ms": round(dt * 1e3, 3), "rel_err": rel, "sol_frac": round(sol / dt, 4)},
+        )
 
     # BASELINE config 3: binary multi-RHS SpMM, Macau-style matrices
-    for name, mat in [
-        ("ecfp 50k x 20k", ecfp_like(50_000, 20_000, 64, 400, seed=2)),
-        ("rmat s18", rmat(18, 16, seed=3)),
-        ("banded 50k bw512", banded(50_000, 512, seed=4)),
-    ]:
+    cases3 = []
+    if want("3e"):
+        cases3.append(("ecfp 50k x 20k", ecfp_like(50_000, 20_000, 64, 400, seed=2)))
+    if want("3r"):
+        cases3.append(("rmat s18", rmat(18, 16, seed=3)))
+    if want("3b"):
+        cases3.append(("banded 50k bw512", banded(50_000, 512, seed=4)))
+    for name, mat in cases3:
         binary = bool((mat.data == 1).all())
         op = fs.operator(mat, reorder="auto", transpose=False)
         fmt = type(op.fwd).__name__
@@ -128,6 +141,8 @@ def tpu_configs():
             )
 
     # BASELINE config 4: SpGEMM with fused nnz estimation
+    if not want("4"):
+        return
     A = rmat(13, 8, seed=5, binary=False)
     B = rmat(13, 8, seed=6, binary=False)
     t0 = time.perf_counter()

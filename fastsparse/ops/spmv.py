@@ -114,9 +114,10 @@ def spmv_t(A, x):
     from ..formats.bsr import BsrMatrix
     from ..formats.ell import SegmentedEll
 
+    from ..formats.hybrid import HybridMatrix
     from ..formats.segmented import ColSegmented
 
-    if isinstance(A, (BsrMatrix, ColSegmented)):
+    if isinstance(A, (BsrMatrix, ColSegmented, HybridMatrix)):
         raise TypeError(
             "tiled formats have no transpose-scatter path; build the dual "
             "tiling via fastsparse.operator(..., transpose=True) instead"

@@ -6,7 +6,7 @@ Gibbs run. The C version did ``tmp = A·x`` then a scatter-add ``Aᵀ·tmp``;
 on TPU scatter down the transpose is the trap (SURVEY.md §7.3 item 5), so
 the hot path composes two *forward* products over dual tilings: ``A`` tiled
 by rows of A, plus ``Aᵀ`` tiled by rows of Aᵀ, both built once at convert
-time (`linops.DualOperator`).
+time (`linops.SparseOperator` with ``transpose=True``).
 """
 from __future__ import annotations
 

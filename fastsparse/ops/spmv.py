@@ -108,7 +108,8 @@ def spmv_t(A, x):
     """``y = A.T @ x``. ``x``: dtype[nrow] → dtype[ncol].
 
     For ELL this is the scatter fallback; prefer a precomputed transpose
-    tiling (`linops.Transposable`) on the hot path.
+    tiling (`linops.SparseOperator`, built with ``transpose=True``) on the
+    hot path.
     """
     x = jnp.asarray(x)
     from ..formats.bsr import BsrMatrix

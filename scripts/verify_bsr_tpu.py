@@ -74,9 +74,26 @@ def main():
     mb = powerlaw(20_000, 20_000, 1_000_000, seed=2, binary=True)
     B = fs.build_bsr(fs.binary_coo_from_scipy(mb))
     tick(f"build_bsr binary: tiles={B.n_tiles}")
-    check("binary spmm", bsr_spmm(B, X), mb @ np.asarray(X))
+    check("binary spmm (3-pass planes)", bsr_spmm(B, X), mb @ np.asarray(X))
     bench("binary spmm N=128", bsr_spmm, B, X, nnz=mb.nnz)
     check("binary spmv", bsr_spmv(B, x), mb @ np.asarray(x))
+
+    # gather engine (hypersparse auto path)
+    op = fs.operator(m, reorder="auto", transpose=False, dtype=np.float32)
+    tick(f"auto format: {type(op.fwd).__name__}")
+    check("auto op spmm", op.matmat(X), m @ np.asarray(X))
+    bench("auto op spmm N=128", lambda o, Xd: o.matmat(Xd), op, X, nnz=m.nnz)
+
+    # hybrid on mixed structure
+    from fastsparse.bench.matrices import banded
+
+    mh = (banded(8192, 96, seed=7) +
+          powerlaw(8192, 8192, 60_000, seed=8, dtype=np.float32)).tocsr()
+    H = fs.build_hybrid(fs.coo_from_scipy(mh, dtype=np.float32), threshold=32)
+    Xh = jnp.asarray(np.random.default_rng(9).standard_normal(
+        (8192, 128)), jnp.float32)
+    check("hybrid spmm", fs.spmm(H, Xh), mh @ np.asarray(Xh), rtol=5e-4, atol=5e-4)
+    tick(f"hybrid dense_frac={H.dense_fraction:.2f}")
     tick("ALL OK")
 
 

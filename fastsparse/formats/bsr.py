@@ -26,7 +26,7 @@ avoiding any in-kernel shuffle.
 """
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,7 @@ from .csr import CSR, BinaryCSR
 __all__ = ["BsrBucket", "BsrMatrix", "build_bsr", "expand_bits_reference"]
 
 
-from ..utils.shapes import ceil_pow2 as _ceil_pow2, round_up as _round_up
+from ..utils.shapes import ceil_pow2 as _ceil_pow2
 
 
 @pytree_dataclass

@@ -11,8 +11,6 @@ device-side searchsorted per call.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

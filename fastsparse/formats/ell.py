@@ -39,7 +39,7 @@ from .csr import CSR, BinaryCSR
 __all__ = ["EllBucket", "EllMatrix", "SegmentedEll", "build_ell", "build_ell_segmented"]
 
 
-from ..utils.shapes import ceil_pow2 as _ceil_pow2, round_up as _round_up
+from ..utils.shapes import ceil_pow2 as _ceil_pow2
 
 
 @pytree_dataclass

@@ -22,7 +22,7 @@ from .formats.hybrid import HybridMatrix, build_hybrid, dense_tile_fraction
 from .formats.convert import to_coo
 from .formats.coo import COO, BinaryCOO
 from .formats.csr import CSR, BinaryCSR
-from .formats.ell import EllMatrix, SegmentedEll, build_ell, build_ell_segmented
+from .formats.ell import EllMatrix, build_ell, build_ell_segmented
 from .ops import spmm as _spmm_mod
 from .ops import spmv as _spmv_mod
 from .utils.pytree import pytree_dataclass, static_field

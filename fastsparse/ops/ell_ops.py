@@ -11,9 +11,9 @@ import jax
 import jax.numpy as jnp
 
 from ..formats.ell import EllMatrix, SegmentedEll
-from .pallas.ell_spmm import ELL_GROUP, ell_bucket_spmm
+from .pallas.ell_spmm import ELL_GROUP, ell_bucket_spmm, ell_bucket_spmm_dd
 
-__all__ = ["ell_spmm", "gather_engine_supported", "gather_engine_fits"]
+__all__ = ["ell_spmm", "ell_spmm_dd", "gather_engine_supported", "gather_engine_fits"]
 
 LANES = 128
 _SMEM_IDX_BUDGET = 32 * 1024  # flat entries per call (cols + vals in SMEM)
@@ -63,6 +63,52 @@ def _seg_spmm(ell: EllMatrix, Xseg, Y, n_block: int):
             # padding chunk rows add zeros (zero vals / sentinel columns)
             Y = Y.at[row_ids].add(Yb)
     return Y
+
+
+def ell_spmm_dd(A, X):
+    """EXPERIMENTAL fp64-class ``Y = A @ X`` for unit-values (binary)
+    matrices on f32 hardware: the f64 operand is split into hi/lo f32
+    planes and accumulated with an error-free TwoSum chain
+    (`ell_bucket_spmm_dd`). Returns float64 (rel ~1e-13 vs a true fp64
+    product for moderate row lengths — under the 1e-10 parity bar).
+
+    A: EllMatrix or SegmentedEll with ``unit_vals=True``; X: f64[ncol, N].
+    """
+    import numpy as np
+
+    nrow, ncol = A.shape
+    Xh = np.asarray(X, np.float64)
+    N = Xh.shape[1]
+    n_block = min(_round_up(N, LANES), 512)
+    Npad = _round_up(N, n_block)
+
+    segs = (
+        list(zip(A.col_offsets, A.segments))
+        if isinstance(A, SegmentedEll)
+        else [(0, A)]
+    )
+    Yhi = jnp.zeros((nrow, Npad), jnp.float32)
+    Ylo = jnp.zeros((nrow, Npad), jnp.float32)
+    out = np.zeros((nrow, Npad), np.float64)
+    for off, seg in segs:
+        if not getattr(seg, "unit_vals", False):
+            raise ValueError("ell_spmm_dd requires a binary (unit) matrix")
+        seg_ncol = seg.shape[1]
+        rows_pad = _round_up(max(seg_ncol + 1, 8), 8)
+        Xs = Xh[off : off + seg_ncol]
+        hi = Xs.astype(np.float32)
+        lo = (Xs - hi).astype(np.float32)
+        x2 = np.zeros((2 * rows_pad, Npad), np.float32)
+        x2[:seg_ncol, :N] = hi
+        x2[rows_pad : rows_pad + seg_ncol, :N] = lo
+        x2j = jnp.asarray(x2)
+        for b in seg.buckets:
+            for row_ids, cols, _vals in _bucket_chunks(b, seg):
+                yh, yl = ell_bucket_spmm_dd(cols, x2j, n_block=n_block)
+                rid = np.asarray(row_ids)
+                np.add.at(out, rid, np.asarray(yh, np.float64))
+                np.add.at(out, rid, np.asarray(yl, np.float64))
+    return out[:, :N]
 
 
 def ell_spmm(A, X, *, n_block: int | None = None) -> jax.Array:

@@ -47,9 +47,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-from ...utils.shapes import round_up as _round_up
-
-
 def _expand_bits(words, tile_k: int, dtype):
     """uint32 (..., TM, W) -> 0/1 mask (..., TM, TK), word-major layout.
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ell_bucket_spmm", "ELL_GROUP"]
+__all__ = ["ell_bucket_spmm", "ell_bucket_spmm_dd", "ELL_GROUP"]
 
 ELL_GROUP = 8  # bucket rows per grid step (>= 8 output sublanes)
 _N_ACC = 4  # independent accumulators per row (breaks VPU add latency chain)
@@ -91,6 +91,88 @@ def _body_unit(K, KB, G, cols_ref, x_ref, o_ref):
             if a is not None:
                 acc = acc + a
         o_ref[pl.ds(g, 1), :] += acc
+
+
+def _body_unit_dd(K, KB, G, K_rows, cols_ref, x_ref, ohi_ref, olo_ref):
+    """Compensated (double-word) unit-values gather: fp64-class sums from
+    f32 hardware. ``x_ref`` stacks hi/lo planes of the f64 operand
+    ((2*K_rows, NB) f32); accumulation is an error-free TwoSum chain into
+    (hi, lo) outputs — relative error ~2^-45 for moderate row lengths,
+    comfortably under the fp64 parity bar (rtol 1e-10, BASELINE.json:5).
+    """
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        ohi_ref[:] = jnp.zeros_like(ohi_ref)
+        olo_ref[:] = jnp.zeros_like(olo_ref)
+
+    for g in range(G):
+        hi = ohi_ref[pl.ds(g, 1), :]
+        lo = olo_ref[pl.ds(g, 1), :]
+        for u in range(KB):
+            k = (i * G + g) * K + t * KB + u
+            c = cols_ref[k]
+            bhi = x_ref[pl.ds(c, 1), :]
+            blo = x_ref[pl.ds(K_rows + c, 1), :]
+            # TwoSum(hi, bhi) -> (s, err); fold err and blo into lo
+            s_ = hi + bhi
+            bb = s_ - hi
+            err = (hi - (s_ - bb)) + (bhi - bb)
+            hi = s_
+            lo = lo + (err + blo)
+        ohi_ref[pl.ds(g, 1), :] = hi
+        olo_ref[pl.ds(g, 1), :] = lo
+
+
+@functools.partial(jax.jit, static_argnames=("n_block",))
+def ell_bucket_spmm_dd(cols, x2, *, n_block: int):
+    """Unit-values bucket product with compensated accumulation.
+
+    cols: int32[nb, K] (sentinel padding); x2: f32[2*K_rows, Npad] — the
+    f64 operand split into hi/lo planes. Returns (Y_hi, Y_lo) f32.
+    """
+    nb, K = cols.shape
+    NB = n_block
+    Npad = x2.shape[1]
+    K_rows = x2.shape[0] // 2
+    nj = Npad // NB
+    G = ELL_GROUP
+    assert nb % G == 0, f"bucket nb={nb} not a multiple of {G}"
+    KB = min(_KB_MAX, K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nj, nb // G, K // KB),
+        in_specs=[
+            pl.BlockSpec(
+                (x2.shape[0], NB),
+                lambda j, i, t, c: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (G, NB), lambda j, i, t, c: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (G, NB), lambda j, i, t, c: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_body_unit_dd, K, KB, G, K_rows),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, Npad), jnp.float32),
+            jax.ShapeDtypeStruct((nb, Npad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(cols.reshape(-1), x2)
 
 
 @functools.partial(jax.jit, static_argnames=("n_block", "unit"))

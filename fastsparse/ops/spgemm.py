@@ -22,14 +22,12 @@ padding entries beyond it.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT, Config
-from ..formats.coo import COO, BinaryCOO, coo_from_scipy
+from ..formats.coo import COO, BinaryCOO
 from ..formats.csr import CSR, BinaryCSR
 
 __all__ = ["spgemm", "spgemm_info"]

@@ -37,7 +37,7 @@ from ..utils.pytree import pytree_dataclass, static_field
 __all__ = ["RowPartitioned", "partition_rows"]
 
 
-from ..utils.shapes import ceil_pow2 as _ceil_pow2, round_up as _round_up
+from ..utils.shapes import round_up as _round_up
 
 
 @pytree_dataclass

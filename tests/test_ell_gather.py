@@ -70,3 +70,26 @@ def test_binary_unit_gather():
     np.testing.assert_allclose(
         np.asarray(ell_spmm(S, X)), m @ X, rtol=1e-6, atol=1e-5
     )
+
+
+def test_compensated_dd_gather():
+    """fp64-class binary SpMM on f32 hardware (TwoSum planes)."""
+    import fastsparse as fs
+    from fastsparse.ops.ell_ops import ell_spmm_dd
+
+    m = C.random_csr(150, 180, 0.08, seed=30, binary=True)
+    A = fs.build_ell(fs.binary_coo_from_scipy(m))
+    rng = np.random.default_rng(31)
+    # values spanning many magnitudes so f32 would visibly fail
+    X = rng.standard_normal((180, 8)) * (10.0 ** rng.integers(-6, 6, (180, 8)))
+    ref = (m @ X).astype(np.float64)
+    Y = ell_spmm_dd(A, X)
+    scale = np.abs(ref).max(axis=0, keepdims=True) + 1e-300
+    assert np.max(np.abs(Y - ref) / scale) < 1e-10
+    # plain f32 engine would NOT meet this bar on the same data
+    Y32 = np.asarray(ell_spmm(A, X.astype(np.float32)), np.float64)
+    assert np.max(np.abs(Y32 - ref) / scale) > 1e-10
+
+    S = build_ell_segmented(fs.binary_coo_from_scipy(m), seg_cols=64)
+    Ys = ell_spmm_dd(S, X)
+    assert np.max(np.abs(Ys - ref) / scale) < 1e-10

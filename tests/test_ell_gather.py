@@ -77,11 +77,11 @@ def test_compensated_dd_gather():
     import fastsparse as fs
     from fastsparse.ops.ell_ops import ell_spmm_dd
 
-    m = C.random_csr(150, 180, 0.08, seed=30, binary=True)
+    m = C.random_csr(90, 96, 0.08, seed=30, binary=True)
     A = fs.build_ell(fs.binary_coo_from_scipy(m))
     rng = np.random.default_rng(31)
     # values spanning many magnitudes so f32 would visibly fail
-    X = rng.standard_normal((180, 8)) * (10.0 ** rng.integers(-6, 6, (180, 8)))
+    X = rng.standard_normal((96, 8)) * (10.0 ** rng.integers(-6, 6, (96, 8)))
     ref = (m @ X).astype(np.float64)
     Y = ell_spmm_dd(A, X)
     scale = np.abs(ref).max(axis=0, keepdims=True) + 1e-300
@@ -90,6 +90,6 @@ def test_compensated_dd_gather():
     Y32 = np.asarray(ell_spmm(A, X.astype(np.float32)), np.float64)
     assert np.max(np.abs(Y32 - ref) / scale) > 1e-10
 
-    S = build_ell_segmented(fs.binary_coo_from_scipy(m), seg_cols=64)
+    S = build_ell_segmented(fs.binary_coo_from_scipy(m), seg_cols=48)
     Ys = ell_spmm_dd(S, X)
     assert np.max(np.abs(Ys - ref) / scale) < 1e-10

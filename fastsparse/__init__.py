@@ -23,6 +23,8 @@ from .ops.spmv import spmv, spmv_t
 from .ops.spmm import spmm, spmm_t
 from .ops.ata import ata_x, ata_X, aat_x
 from .ops.spgemm import spgemm, spgemm_info
+from .tuning import optimal_buckets, tuned_config
+from .update import ValueUpdater, value_updater
 from .utils.debug import validate
 from .solvers.cg import cg, cg_normal, CGResult
 from . import io

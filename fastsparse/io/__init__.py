@@ -1,6 +1,6 @@
 from .sbm import read_sbm, write_sbm, read_sdm, write_sdm
 from .mtx import read_mtx, write_mtx
-from .npz_cache import save_npz, load_npz
+from .npz_cache import save_npz, load_npz, save_npz_sharded, load_npz_sharded
 
 __all__ = [
     "read_sbm",
@@ -11,4 +11,6 @@ __all__ = [
     "write_mtx",
     "save_npz",
     "load_npz",
+    "save_npz_sharded",
+    "load_npz_sharded",
 ]

@@ -12,7 +12,7 @@ import pickle
 import jax
 import numpy as np
 
-__all__ = ["save_npz", "load_npz"]
+__all__ = ["save_npz", "load_npz", "save_npz_sharded", "load_npz_sharded"]
 
 
 def save_npz(path, tree) -> None:
@@ -32,3 +32,78 @@ def load_npz(path, device=None):
         n = len([k for k in z.files if k.startswith("leaf_")])
         leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
     return jax.tree.unflatten(treedef, leaves)
+
+
+def save_npz_sharded(prefix, tree, n_shards=None) -> None:
+    """Shard-parallel save: one ``{prefix}.shard{p}-of-{P}.npz`` per shard.
+
+    Leaves whose leading axis equals ``n_shards`` (default:
+    ``tree.n_shards`` — a `parallel.RowPartitioned`) are split along it;
+    anything else is replicated into every shard file. In a multi-host job
+    each process saves/loads only its own rows instead of the full matrix
+    (SURVEY.md §5.4 / docs/ROADMAP.md item 12) — file p is a self-contained
+    checkpoint of shard p.
+    """
+    if n_shards is None:
+        n_shards = getattr(tree, "n_shards", None)
+    if n_shards is None:
+        raise ValueError("n_shards not given and tree has no .n_shards")
+    P = int(n_shards)
+    leaves, treedef = jax.tree.flatten(tree)
+    td = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
+    split = [
+        np.asarray(leaf).shape[:1] == (P,) for leaf in leaves
+    ]
+    for p in range(P):
+        arrays = {"__treedef__": td, "__shard__": np.array([p, P])}
+        for i, leaf in enumerate(leaves):
+            a = np.asarray(leaf)
+            arrays[f"leaf_{i}"] = a[p] if split[i] else a
+            arrays[f"split_{i}"] = np.array(split[i])
+        np.savez_compressed(f"{prefix}.shard{p}-of-{P}.npz", **arrays)
+
+
+def load_npz_sharded(prefix, shards=None, sharding=None):
+    """Load a sharded checkpoint back into one stacked pytree.
+
+    ``shards=None`` loads every shard (result identical to the tree that
+    was saved); an int or list loads a subset (leading axis = number of
+    shards requested — each host of a pod loads only its own block).
+    ``sharding`` optionally `jax.device_put`s the result (a
+    `NamedSharding` over the shard axis places each block on its device).
+    """
+    import glob as _glob
+    import re
+
+    import jax.numpy as jnp
+
+    files = sorted(_glob.glob(f"{prefix}.shard*-of-*.npz"))
+    if not files:
+        raise FileNotFoundError(f"no shard files matching {prefix}.shard*")
+    P = int(re.search(r"-of-(\d+)\.npz$", files[0]).group(1))
+    if isinstance(shards, int):
+        shards = [shards]
+    if shards is None:
+        shards = list(range(P))
+
+    per_shard = []
+    treedef = None
+    split = None
+    for p in shards:
+        with np.load(f"{prefix}.shard{p}-of-{P}.npz", allow_pickle=False) as z:
+            if treedef is None:
+                treedef = pickle.loads(z["__treedef__"].tobytes())
+                n = len([k for k in z.files if k.startswith("leaf_")])
+                split = [bool(z[f"split_{i}"]) for i in range(n)]
+            per_shard.append([np.asarray(z[f"leaf_{i}"]) for i in range(n)])
+
+    leaves = []
+    for i in range(len(split)):
+        if split[i]:
+            leaves.append(jnp.stack([s[i] for s in per_shard]))
+        else:
+            leaves.append(jnp.asarray(per_shard[0][i]))
+    tree = jax.tree.unflatten(treedef, leaves)
+    if sharding is not None:
+        tree = jax.device_put(tree, sharding)
+    return tree

@@ -178,15 +178,21 @@ def operator(
     config: Config = DEFAULT,
     dtype=None,
     reorder: Optional[str] = None,
+    tune: bool = False,
 ) -> SparseOperator:
     """Compile ``mat`` (COO/CSR/scipy) into a :class:`SparseOperator`.
 
     ``format='auto'`` picks BSR for f32/bf16 (Pallas MXU path) and ELL for
     f64 (XLA engine path — TPU f64 is emulated, SURVEY.md §7.3 item 4).
     ``transpose=True`` additionally compiles the dual tiling of ``Aᵀ``.
-    ``reorder='degree'`` permutes rows/columns by descending degree before
-    tiling (packs power-law structure into dense tiles; products are
-    unchanged — operands are permuted at the boundary).
+    ``reorder`` permutes rows/columns before tiling (products are unchanged
+    — operands are permuted at the boundary): ``'degree'`` (descending
+    degree), ``'minhash'`` (similarity co-clustering), ``'tilepack'``
+    (iterated cluster + column-packing — strongest on community structure),
+    or ``'auto'`` (pick by modeled product cost).
+    ``tune=True`` replaces the power-of-two bucket edges with per-matrix
+    optimal ones (`tuning.tuned_config`) — less padding, but compiled
+    program shapes become matrix-specific.
     """
     if format not in _FORMATS:
         raise ValueError(f"format must be one of {_FORMATS}")
@@ -204,6 +210,48 @@ def operator(
             coo = coo_from_scipy(m, dtype=dtype)
     else:
         coo = to_coo(mat)
+
+    # Power-of-two entry capacity: bounded jit shapes for the on-device
+    # sort/conversion programs (compile-cache reuse across matrices).
+    def _pow2(x):
+        return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
+
+    if hasattr(coo, "pad_to") and coo.nnz_cap != _pow2(coo.nnz_cap):
+        coo = coo.pad_to(_pow2(coo.nnz_cap))
+
+    # Reorder BEFORE resolving format='auto': occupancy/dense-fraction must
+    # reflect the layout the tilings will actually be built from.
+    row_perm = col_perm = row_inv = col_inv = None
+    if reorder in ("degree", "minhash", "tilepack", "auto"):
+        from .reorder.cluster import (
+            best_perms,
+            degree_perms,
+            invert_perm,
+            minhash_perms,
+            permute_coo,
+            tilepack_perms,
+        )
+
+        if reorder == "degree":
+            row_perm, col_perm = degree_perms(coo)
+        elif reorder == "minhash":
+            row_perm, col_perm = minhash_perms(coo)
+        elif reorder == "tilepack":
+            row_perm, col_perm = tilepack_perms(coo)
+        else:
+            row_perm, col_perm = best_perms(coo)
+        if row_perm is not None:
+            row_inv = invert_perm(row_perm)
+            col_inv = invert_perm(col_perm)
+            coo = permute_coo(coo, row_perm, col_perm)
+    elif reorder not in (None, "none"):
+        raise ValueError(f"unknown reorder {reorder!r}")
+
+    if tune:
+        from .tuning import tuned_config
+
+        # on the permuted layout: reordering changes strip/slab populations
+        config = tuned_config(coo, config=config)
 
     if format == "auto":
         is_binary = isinstance(coo, BinaryCOO)
@@ -223,37 +271,6 @@ def operator(
                 format = "ell"
         else:
             format = "ell"
-
-    # Power-of-two entry capacity: bounded jit shapes for the on-device
-    # sort/conversion programs (compile-cache reuse across matrices).
-    def _pow2(x):
-        return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
-
-    if hasattr(coo, "pad_to") and coo.nnz_cap != _pow2(coo.nnz_cap):
-        coo = coo.pad_to(_pow2(coo.nnz_cap))
-
-    row_perm = col_perm = row_inv = col_inv = None
-    if reorder in ("degree", "minhash", "auto"):
-        from .reorder.cluster import (
-            best_perms,
-            degree_perms,
-            invert_perm,
-            minhash_perms,
-            permute_coo,
-        )
-
-        if reorder == "degree":
-            row_perm, col_perm = degree_perms(coo)
-        elif reorder == "minhash":
-            row_perm, col_perm = minhash_perms(coo)
-        else:
-            row_perm, col_perm = best_perms(coo)
-        if row_perm is not None:
-            row_inv = invert_perm(row_perm)
-            col_inv = invert_perm(col_perm)
-            coo = permute_coo(coo, row_perm, col_perm)
-    elif reorder not in (None, "none"):
-        raise ValueError(f"unknown reorder {reorder!r}")
 
     fwd = _compile_one(coo, format, config, dtype)
     bwd = None

@@ -22,6 +22,8 @@ padding entries beyond it.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +32,7 @@ from ..config import DEFAULT, Config
 from ..formats.coo import COO, BinaryCOO
 from ..formats.csr import CSR, BinaryCSR
 
-__all__ = ["spgemm", "spgemm_info"]
+__all__ = ["spgemm", "spgemm_info", "spgemm_device", "symbolic_device"]
 
 _PAIR_CHUNK = 4096  # tile pairs per batched matmul step
 
@@ -188,6 +190,229 @@ def spgemm(A, B, config: Config = DEFAULT, out_format: str = "coo"):
     info["nnz"] = int(rows.size)
     C = COO.from_arrays(rows, cols, vals.astype(np.float32), (ma, nb))
     return C, info
+
+
+# --------------------------------------------------------------------------
+# Device-side symbolic + numeric phases (docs/ROADMAP.md item 9).
+#
+# The host symbolic phase above decides static shapes with np.unique; the
+# device path below runs the whole product — tile discovery, the k-join
+# with fused output-nnz estimation, tile fill, and the contraction — as ONE
+# jitted program. XLA needs static bounds, so the caller supplies caps
+# (power-of-two-rounded so compiled programs are reused across runs); the
+# returned scalars report the dynamic truth and overflow is detectable as
+# ``n_pairs > pair_cap``.
+# --------------------------------------------------------------------------
+
+_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+def _unique_ranks(keys, valid, cap):
+    """Sorted-unique machinery: returns (ukeys[cap], rank_of_entry[n],
+    n_unique) where rank_of_entry maps each *original* entry to its unique
+    key's index (sorted order). Invalid entries get rank cap (dump slot)."""
+    n = keys.shape[0]
+    skeys, pos = jax.lax.sort(
+        [jnp.where(valid, keys, _SENTINEL), jnp.arange(n, dtype=jnp.int32)],
+        num_keys=1,
+        is_stable=True,
+    )
+    svalid = skeys != _SENTINEL
+    flag = svalid & jnp.concatenate(
+        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
+    )
+    rank_sorted = jnp.cumsum(flag.astype(jnp.int32)) - 1
+    rank_sorted = jnp.where(svalid, rank_sorted, cap)
+    n_unique = flag.sum()
+    ukeys = jnp.full((cap + 1,), _SENTINEL, jnp.int32)
+    ukeys = ukeys.at[jnp.where(flag, rank_sorted, cap)].set(skeys)[:cap]
+    rank = jnp.zeros((n,), jnp.int32).at[pos].set(rank_sorted)
+    return ukeys, rank, n_unique
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tm", "tk", "n_kslabs", "n_jslabs",
+        "tile_cap_a", "tile_cap_b", "pair_cap", "out_tile_cap",
+    ),
+)
+def symbolic_device(
+    a_rows, a_cols, a_valid,
+    b_rows, b_cols, b_valid,
+    *, tm, tk, n_kslabs, n_jslabs,
+    tile_cap_a, tile_cap_b, pair_cap, out_tile_cap,
+):
+    """Jittable symbolic phase: tile discovery + k-join + output structure.
+
+    Returns ``(ai, bi, oi, pair_valid, ua_key, ub_key, uo_key, a_rank,
+    b_rank, n_pairs, n_out_tiles)``; ``est_nnz = n_out_tiles·tm·tk`` is the
+    fused output-nnz estimation, available after one device program.
+    """
+    keyA = (a_rows // tm) * n_kslabs + a_cols // tk
+    ua_key, a_rank, n_ta = _unique_ranks(keyA.astype(jnp.int32), a_valid, tile_cap_a)
+    keyB = (b_rows // tk) * n_jslabs + b_cols // tk
+    ub_key, b_rank, n_tb = _unique_ranks(keyB.astype(jnp.int32), b_valid, tile_cap_b)
+
+    ua_valid = ua_key != _SENTINEL
+    ua_strip = jnp.where(ua_valid, ua_key // n_kslabs, 0)
+    ua_k = jnp.where(ua_valid, ua_key % n_kslabs, 0)
+    ub_valid = ub_key != _SENTINEL
+    ub_k = jnp.where(ub_valid, ub_key // n_jslabs, 0)
+    ub_j = jnp.where(ub_valid, ub_key % n_jslabs, 0)
+
+    # B tiles are key-sorted => kstrip-major: per-k runs are contiguous.
+    counts_b = jnp.zeros((n_kslabs,), jnp.int32).at[ub_k].add(
+        ub_valid.astype(jnp.int32)
+    )
+    b_start = jnp.cumsum(counts_b) - counts_b
+
+    # pairs per A tile, enumerated by global pair index p
+    c = jnp.where(ua_valid, counts_b[ua_k], 0)
+    offs_incl = jnp.cumsum(c)
+    n_pairs = offs_incl[-1] if tile_cap_a else jnp.int32(0)
+    p = jnp.arange(pair_cap, dtype=jnp.int32)
+    ai = jnp.searchsorted(offs_incl, p, side="right").astype(jnp.int32)
+    pair_valid = (p < n_pairs) & (ai < tile_cap_a)
+    ai_c = jnp.where(pair_valid, ai, 0)
+    r = p - (offs_incl[ai_c] - c[ai_c])
+    bi = jnp.where(pair_valid, b_start[ua_k[ai_c]] + r, 0)
+
+    out_key = ua_strip[ai_c] * n_jslabs + ub_j[bi]
+    uo_key, o_rank, n_out = _unique_ranks(
+        out_key.astype(jnp.int32), pair_valid, out_tile_cap
+    )
+    return (
+        ai_c, bi, o_rank, pair_valid,
+        ua_key, ub_key, uo_key, a_rank, b_rank,
+        n_pairs, n_out, n_ta, n_tb,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tm", "tk", "n_kslabs", "n_jslabs",
+        "tile_cap_a", "tile_cap_b", "pair_cap", "out_tile_cap", "chunk",
+    ),
+)
+def _spgemm_device_jit(
+    a_rows, a_cols, a_vals, a_valid,
+    b_rows, b_cols, b_vals, b_valid,
+    *, tm, tk, n_kslabs, n_jslabs,
+    tile_cap_a, tile_cap_b, pair_cap, out_tile_cap, chunk,
+):
+    (ai, bi, oi, pair_valid, ua_key, ub_key, uo_key, a_rank, b_rank,
+     n_pairs, n_out, n_ta, n_tb) = symbolic_device(
+        a_rows, a_cols, a_valid, b_rows, b_cols, b_valid,
+        tm=tm, tk=tk, n_kslabs=n_kslabs, n_jslabs=n_jslabs,
+        tile_cap_a=tile_cap_a, tile_cap_b=tile_cap_b,
+        pair_cap=pair_cap, out_tile_cap=out_tile_cap,
+    )
+
+    # device tile fill: scatter each entry into its tile's dense slot
+    def fill(rank, rows, cols, vals, valid, cap, t_m, t_k):
+        flat = jnp.zeros((cap + 1) * t_m * t_k, jnp.float32)
+        slot = rank * (t_m * t_k) + (rows % t_m) * t_k + (cols % t_k)
+        slot = jnp.where(valid, slot, cap * t_m * t_k)
+        return flat.at[slot].add(jnp.where(valid, vals, 0.0)).reshape(
+            cap + 1, t_m, t_k
+        )
+
+    a_tiles = fill(a_rank, a_rows, a_cols, a_vals, a_valid, tile_cap_a, tm, tk)
+    b_tiles = fill(b_rank, b_rows, b_cols, b_vals, b_valid, tile_cap_b, tk, tk)
+
+    # contraction: pair chunks through the MXU, scatter-add into C tiles
+    n_chunks = pair_cap // chunk
+    ai_j = ai.reshape(n_chunks, chunk)
+    bi_j = bi.reshape(n_chunks, chunk)
+    oi_j = jnp.where(pair_valid, oi, out_tile_cap).reshape(n_chunks, chunk)
+    C_tiles = jnp.zeros((out_tile_cap + 1, tm, tk), jnp.float32)
+
+    def step(C, idx):
+        a_idx, b_idx, o_idx = idx
+        prod = jax.lax.dot_general(
+            a_tiles[a_idx], b_tiles[b_idx],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return C.at[o_idx].add(prod), None
+
+    C_tiles, _ = jax.lax.scan(step, C_tiles, (ai_j, bi_j, oi_j))
+    return C_tiles[:out_tile_cap], uo_key, n_pairs, n_out, n_ta, n_tb
+
+
+def _pow2(x):
+    return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
+
+
+def spgemm_device(A, B, config: Config = DEFAULT, caps: dict | None = None):
+    """``C = A @ B`` entirely on device — one compiled program.
+
+    Symbolic (tile discovery, k-join, fused output-nnz estimation), tile
+    fill, and the MXU contraction all run inside a single jit; the host
+    only chooses capacity bounds (power-of-two so programs are reused).
+    ``caps`` may pin ``{"tiles_a", "tiles_b", "pairs", "out_tiles"}``; by
+    default they come from one dry host pass (`spgemm_info`) — pass caps
+    from a structurally similar product to skip that.
+
+    Returns ``(C_tiles f32[out_cap,TM,TK], uo_key i32[out_cap], info)``
+    where ``uo_key = strip·n_jslabs + jslab`` per output tile (sentinel =
+    padding) and ``info`` carries est_nnz/n_pairs. Raises if a cap
+    overflows (re-run with larger caps).
+    """
+    TM, TK = config.tile_m, config.tile_k
+    ra, ca, va, (ma, ka) = _host_coo(A)
+    rb, cb, vb, (kb, nb) = _host_coo(B)
+    if ka != kb:
+        raise ValueError(f"inner dims mismatch: {ka} vs {kb}")
+    n_kslabs = max(-(-ka // TK), 1)
+    n_jslabs = max(-(-nb // TK), 1)
+
+    if caps is None:
+        info, _ = _symbolic(A, B, config)
+        caps = {
+            "tiles_a": _pow2(int(np.unique((ra // TM) * n_kslabs + ca // TK).size)),
+            "tiles_b": _pow2(int(np.unique((rb // TK) * n_jslabs + cb // TK).size)),
+            "pairs": _pow2(max(info["n_pairs"], 1)),
+            "out_tiles": _pow2(max(info["n_out_tiles"], 1)),
+        }
+    chunk = min(_PAIR_CHUNK, caps["pairs"])
+
+    C_tiles, uo_key, n_pairs, n_out, n_ta, n_tb = _spgemm_device_jit(
+        jnp.asarray(ra, jnp.int32), jnp.asarray(ca, jnp.int32),
+        jnp.asarray(va, jnp.float32), jnp.ones(ra.shape, bool),
+        jnp.asarray(rb, jnp.int32), jnp.asarray(cb, jnp.int32),
+        jnp.asarray(vb, jnp.float32), jnp.ones(rb.shape, bool),
+        tm=TM, tk=TK, n_kslabs=n_kslabs, n_jslabs=n_jslabs,
+        tile_cap_a=caps["tiles_a"], tile_cap_b=caps["tiles_b"],
+        pair_cap=caps["pairs"], out_tile_cap=caps["out_tiles"], chunk=chunk,
+    )
+    n_pairs = int(n_pairs)
+    n_out = int(n_out)
+    if (
+        n_pairs > caps["pairs"]
+        or n_out > caps["out_tiles"]
+        or int(n_ta) > caps["tiles_a"]
+        or int(n_tb) > caps["tiles_b"]
+    ):
+        raise ValueError(
+            f"caps overflow: n_pairs={n_pairs} (cap {caps['pairs']}), "
+            f"n_out_tiles={n_out} (cap {caps['out_tiles']}), "
+            f"tiles_a={int(n_ta)} (cap {caps['tiles_a']}), "
+            f"tiles_b={int(n_tb)} (cap {caps['tiles_b']})"
+        )
+    info = {
+        "n_pairs": n_pairs,
+        "n_out_tiles": n_out,
+        "est_nnz": n_out * TM * TK,
+        "flops": 2 * n_pairs * TM * TK * TK,
+        "caps": caps,
+        "shape": (ma, nb),
+        "n_jslabs": n_jslabs,
+    }
+    return C_tiles, uo_key, info
 
 
 def _tiles_to_bsr(C_tiles, uout, shape, n_jslabs, TM, TK, config):

@@ -1,0 +1,144 @@
+"""Per-matrix bucket tuning: optimal ELL widths / BSR tile counts.
+
+The default `Config` uses power-of-two bucket edges so compiled program
+shapes are shared across matrices (remote TPU compiles cost ~30 s each —
+CLAUDE.md). For a matrix that will be used many times, per-matrix *optimal*
+bucket edges cut the gather engine's padding ratio (the ~1.5–2× slot
+overhead is pure wasted instruction issue at ~2.2 ns/slot —
+docs/ROADMAP.md item 3): with row/strip populations known, choosing the
+``K`` bucket edges that minimize total padded slots is a small interval
+dynamic program over the length histogram.
+
+`tuned_config(mat)` returns a `Config` whose ``ell_bucket_widths`` /
+``bsr_bucket_tiles`` are optimal for that matrix (opt-in:
+``operator(..., tune=True)``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from .config import DEFAULT, Config
+
+__all__ = ["optimal_buckets", "tuned_config", "padded_slots"]
+
+
+def optimal_buckets(
+    counts: Sequence[int],
+    max_buckets: int = 8,
+    round_to: int = 1,
+    max_classes: int = 2048,
+) -> tuple:
+    """Bucket edges minimizing total padded slots.
+
+    ``counts``: per-row nnz (or per-strip tile counts). Every row is padded
+    to the smallest chosen edge ≥ its count; the result always contains the
+    max count, uses at most ``max_buckets`` edges, and minimizes
+    ``sum(edge(row) for rows)``. Interval DP, O(K·m²) over ``m`` distinct
+    counts (quantized to ``max_classes`` classes if needed).
+    """
+    counts = np.asarray(counts, np.int64)
+    counts = counts[counts > 0]
+    if counts.size == 0:
+        return (1,)
+    if round_to > 1:
+        counts = -(-counts // round_to) * round_to
+    lens, hist = np.unique(counts, return_counts=True)
+    m = lens.size
+    if m > max_classes:
+        # quantize: keep every class's rows but merge onto ~max_classes edges
+        q = np.linspace(0, m - 1, max_classes).astype(np.int64)
+        q = np.unique(q)
+        # rows in (lens[q[i-1]], lens[q[i]]] pad to lens[q[i]]
+        new_hist = np.zeros(q.size, np.int64)
+        idx = np.searchsorted(lens[q], lens, side="left")
+        np.add.at(new_hist, idx, hist)
+        lens, hist = lens[q], new_hist
+        m = lens.size
+    return _dp(lens, hist, min(max_buckets, m))
+
+
+def _dp(lens, hist, K):
+    """Interval DP with parent backtrack: O(K·m²), m = distinct classes."""
+    m = lens.size
+    pre = np.concatenate([[0], np.cumsum(hist)]).astype(np.float64)
+    lensf = lens.astype(np.float64)
+    INF = np.inf
+    f = np.full((K, m), INF)
+    parent = np.full((K, m), -1, np.int64)
+    f[0] = lensf * pre[1:]
+    for k in range(1, K):
+        fp = f[k - 1]
+        # cand[i, j] = fp[i] + lens[j] * (pre[j+1] - pre[i+1]) for i < j
+        cand = fp[:, None] + lensf[None, :] * (pre[None, 1:] - pre[1:, None])
+        ii, jj = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+        cand[ii >= jj] = INF
+        best_i = np.argmin(cand, axis=0)
+        f[k] = cand[best_i, np.arange(m)]
+        parent[k] = best_i
+    ks = int(np.argmin(f[:, m - 1]))
+    edges = []
+    j = m - 1
+    k = ks
+    while j >= 0 and k >= 0:
+        edges.append(int(lens[j]))
+        j = int(parent[k, j])
+        k -= 1
+    return tuple(sorted(edges))
+
+
+def padded_slots(counts: Sequence[int], edges: Sequence[int]) -> int:
+    """Total slots when each count pads to the smallest edge ≥ it."""
+    counts = np.asarray(counts, np.int64)
+    counts = counts[counts > 0]
+    edges = np.sort(np.asarray(edges, np.int64))
+    idx = np.searchsorted(edges, counts, side="left")
+    if (idx >= edges.size).any():
+        raise ValueError("max count exceeds largest edge")
+    return int(edges[idx].sum())
+
+
+def tuned_config(
+    mat,
+    config: Config = DEFAULT,
+    max_ell_buckets: int = 8,
+    max_bsr_buckets: int = 8,
+) -> Config:
+    """A `Config` with per-matrix optimal bucket edges.
+
+    Trades compile-shape reuse for minimum padding — worth it for matrices
+    used across many products (the persistent compile cache still reuses
+    programs across *runs* of the same matrix).
+    """
+    from .formats.convert import to_coo
+
+    if hasattr(mat, "tocoo") and not hasattr(mat, "rows"):
+        m = mat.tocoo()
+        rows = m.row.astype(np.int64)
+        cols = m.col.astype(np.int64)
+        shape = m.shape
+    else:
+        coo = to_coo(mat)
+        rows = np.asarray(coo.rows)[: coo.n_valid].astype(np.int64)
+        cols = np.asarray(coo.cols)[: coo.n_valid].astype(np.int64)
+        shape = coo.shape
+
+    row_counts = np.bincount(rows, minlength=shape[0])
+    ell_widths = optimal_buckets(row_counts, max_buckets=max_ell_buckets)
+
+    n_slabs = max(-(-shape[1] // config.tile_k), 1)
+    pair = (rows // config.tile_m) * n_slabs + cols // config.tile_k
+    upair = np.unique(pair)
+    strip_counts = np.bincount(
+        (upair // n_slabs).astype(np.int64),
+        minlength=-(-shape[0] // config.tile_m),
+    )
+    bsr_tiles = optimal_buckets(strip_counts, max_buckets=max_bsr_buckets)
+
+    return dataclasses.replace(
+        config,
+        ell_bucket_widths=tuple(int(w) for w in ell_widths),
+        bsr_bucket_tiles=tuple(int(t) for t in bsr_tiles),
+    )

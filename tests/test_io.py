@@ -1,4 +1,5 @@
 """I/O round-trip tests (SBM/SDM raw binary, MatrixMarket, npz cache)."""
+import jax
 import numpy as np
 import pytest
 
@@ -141,3 +142,41 @@ def test_bf16_tiles():
     Y = np.asarray(fs.spmm(A, X))
     # bf16 tile values: ~8-bit mantissa accuracy
     np.testing.assert_allclose(Y, m @ X, rtol=2e-2, atol=2e-2)
+
+
+def test_sharded_npz_roundtrip(tmp_path):
+    import scipy.sparse as sp
+    from fastsparse.io import load_npz_sharded, save_npz_sharded
+    from fastsparse.parallel import partition_rows
+
+    rng = np.random.default_rng(0)
+    m = sp.random(64, 48, density=0.1, random_state=1, dtype=np.float32)
+    part = partition_rows(m, 4)
+    prefix = str(tmp_path / "ckpt")
+    save_npz_sharded(prefix, part)
+
+    back = load_npz_sharded(prefix)
+    got = jax.tree.leaves(back)
+    want = jax.tree.leaves(part)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    assert back.n_shards == part.n_shards
+    assert back.shape == part.shape
+
+
+def test_sharded_npz_subset_load(tmp_path):
+    import scipy.sparse as sp
+    from fastsparse.io import load_npz_sharded, save_npz_sharded
+    from fastsparse.parallel import partition_rows
+
+    m = sp.random(64, 48, density=0.1, random_state=2, dtype=np.float32)
+    part = partition_rows(m, 4)
+    prefix = str(tmp_path / "ckpt")
+    save_npz_sharded(prefix, part)
+
+    one = load_npz_sharded(prefix, shards=2)
+    np.testing.assert_array_equal(
+        np.asarray(one.local.rows)[0], np.asarray(part.local.rows)[2]
+    )
+    assert np.asarray(one.local.rows).shape[0] == 1

@@ -112,3 +112,62 @@ def test_sort_coo_padding_stays_tail():
     assert np.asarray(s.vals)[2:].sum() == 0
     # live entries are a contiguous prefix
     assert set(np.asarray(s.vals)[:2].tolist()) == {1.0, 2.0}
+
+
+def test_tilepack_perms_are_permutations():
+    from fastsparse.bench.matrices import ecfp_like
+    from fastsparse.reorder.cluster import tilepack_perms
+
+    m = ecfp_like(2000, 1000, bits_per_compound=32, n_scaffolds=20)
+    coo = fs.binary_coo_from_scipy(m.tocoo())
+    for base in ("minhash", "degree"):
+        rp, cp = tilepack_perms(coo, base=base)
+        assert sorted(np.asarray(rp).tolist()) == list(range(2000))
+        assert sorted(np.asarray(cp).tolist()) == list(range(1000))
+
+
+def test_tilepack_improves_tile_density_on_community_structure():
+    from fastsparse.bench.matrices import ecfp_like
+    from fastsparse.reorder.cluster import minhash_perms, tilepack_perms
+
+    m = ecfp_like(8000, 4000, bits_per_compound=48, n_scaffolds=40).tocoo()
+    rows, cols = m.row.astype(np.int64), m.col.astype(np.int64)
+    coo = fs.binary_coo_from_scipy(m)
+
+    def dense_frac(rp, cp, tm=8, tk=128, thresh=64):
+        rinv = np.empty(rp.size, np.int64)
+        rinv[np.asarray(rp)] = np.arange(rp.size)
+        cinv = np.empty(cp.size, np.int64)
+        cinv[np.asarray(cp)] = np.arange(cp.size)
+        nsl = -(-m.shape[1] // tk)
+        pair = (rinv[rows] // tm) * nsl + cinv[cols] // tk
+        _, cnt = np.unique(pair, return_counts=True)
+        return cnt[cnt >= thresh].sum() / rows.size
+
+    mh = dense_frac(*minhash_perms(coo))
+    tp = dense_frac(*tilepack_perms(coo))
+    assert tp >= mh  # never worse than its own seed ordering
+    assert tp >= 0.30  # and captures a large dense core on ECFP structure
+
+
+def test_tilepack_empty_matrix():
+    from fastsparse.reorder.cluster import tilepack_perms
+
+    coo = fs.BinaryCOO.from_arrays([], [], (16, 16))
+    rp, cp = tilepack_perms(coo)
+    np.testing.assert_array_equal(np.asarray(rp), np.arange(16))
+    np.testing.assert_array_equal(np.asarray(cp), np.arange(16))
+
+
+def test_operator_tilepack_matches_oracle():
+    from fastsparse.bench.matrices import ecfp_like
+
+    m = ecfp_like(1500, 800, bits_per_compound=24, n_scaffolds=15)
+    X = np.random.default_rng(3).standard_normal((800, 8)).astype(np.float32)
+    op = fs.operator(m, reorder="tilepack", transpose=True)
+    got = np.asarray(op.matmat(X))
+    want = m @ X
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+    yt = np.asarray(op.rmatmat(np.ones((1500, 4), np.float32)))
+    np.testing.assert_allclose(yt, m.T @ np.ones((1500, 4), np.float32),
+                               rtol=2e-5, atol=1e-4)

@@ -83,3 +83,43 @@ def test_spgemm_bsr_output():
 
     X = np.random.default_rng(22).standard_normal((140, 8)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(spmm(Cb, X)), ref @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_spgemm_device_matches_scipy():
+    from fastsparse.ops.spgemm import spgemm_device
+
+    rng = np.random.default_rng(11)
+    A = sp.random(200, 150, density=0.05, random_state=1, dtype=np.float32)
+    B = sp.random(150, 180, density=0.05, random_state=2, dtype=np.float32)
+    C_tiles, uo_key, info = spgemm_device(A, B)
+    assert info["n_pairs"] > 0
+    assert info["est_nnz"] >= (A @ B).nnz
+
+    # densify the tile output and compare
+    TM, TK = 8, 128
+    n_jslabs = info["n_jslabs"]
+    ma, nb = info["shape"]
+    dense = np.zeros((-(-ma // TM) * TM, n_jslabs * TK), np.float32)
+    keys = np.asarray(uo_key)
+    tiles = np.asarray(C_tiles)
+    for t, k in enumerate(keys):
+        if k == np.iinfo(np.int32).max:
+            continue
+        s, j = divmod(int(k), n_jslabs)
+        dense[s * TM:(s + 1) * TM, j * TK:(j + 1) * TK] += tiles[t]
+    want = (A @ B).toarray()
+    np.testing.assert_allclose(dense[:ma, :nb], want, rtol=1e-5, atol=1e-5)
+
+
+def test_spgemm_device_caps_reuse_and_overflow():
+    from fastsparse.ops.spgemm import spgemm_device
+
+    A = sp.random(100, 100, density=0.05, random_state=3, dtype=np.float32)
+    B = sp.random(100, 100, density=0.05, random_state=4, dtype=np.float32)
+    _, _, info = spgemm_device(A, B)
+    # same structural class: explicit caps skip the host dry pass
+    C_tiles, uo_key, info2 = spgemm_device(A, B, caps=info["caps"])
+    assert info2["n_pairs"] == info["n_pairs"]
+    with pytest.raises(ValueError, match="overflow"):
+        spgemm_device(A, B, caps={"tiles_a": 4, "tiles_b": 4,
+                                  "pairs": 4, "out_tiles": 4})

@@ -1,0 +1,83 @@
+"""Per-matrix bucket tuning (`fastsparse.tuning`): DP optimality and
+integration with operator(tune=True)."""
+import itertools
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import fastsparse as fs
+from fastsparse.tuning import optimal_buckets, padded_slots, tuned_config
+
+
+def test_dp_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        counts = rng.integers(1, 18, rng.integers(3, 30))
+        K = int(rng.integers(1, 4))
+        got = optimal_buckets(counts, max_buckets=K)
+        assert len(got) <= K
+        assert max(counts) in got
+        lens = np.unique(counts)
+        best = min(
+            padded_slots(counts, comb)
+            for k in range(1, K + 1)
+            for comb in itertools.combinations(lens.tolist(), k)
+            if max(counts) in comb
+        )
+        assert padded_slots(counts, got) == best
+
+
+def test_tuned_never_worse_than_pow2_default():
+    from fastsparse.bench.matrices import powerlaw
+
+    m = powerlaw(20000, 20000, 400_000, seed=1, binary=True)
+    counts = np.diff(m.indptr)
+    default = fs.DEFAULT.ell_bucket_widths
+    edges = default + (int(counts.max()),) if counts.max() > default[-1] else default
+    tuned = optimal_buckets(counts, max_buckets=8)
+    assert padded_slots(counts, tuned) <= padded_slots(counts, edges)
+
+
+def test_optimal_buckets_edge_cases():
+    assert optimal_buckets([]) == (1,)
+    assert optimal_buckets([0, 0]) == (1,)
+    assert optimal_buckets([5, 5, 5]) == (5,)
+    # quantization path still covers the max
+    rng = np.random.default_rng(2)
+    counts = rng.integers(1, 10_000, 30_000)
+    edges = optimal_buckets(counts, max_buckets=4, max_classes=64)
+    assert max(counts) in edges
+    padded_slots(counts, edges)  # must not raise
+
+
+def test_tuned_config_and_operator():
+    rng = np.random.default_rng(3)
+    m = sp.random(500, 400, density=0.03, random_state=4, dtype=np.float32)
+    cfg = tuned_config(m)
+    assert len(cfg.ell_bucket_widths) <= 8
+    assert len(cfg.bsr_bucket_tiles) <= 8
+
+    op = fs.operator(m, format="ell", tune=True, transpose=True)
+    x = rng.standard_normal(400).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), m @ x, rtol=2e-5, atol=1e-5
+    )
+    y = rng.standard_normal(500).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.rmatvec(y)), m.T @ y, rtol=2e-5, atol=1e-5
+    )
+    # tuned ELL pads less than (or equal to) the default build
+    default_op = fs.operator(m, format="ell", transpose=False)
+    assert op.fwd.padded_nnz <= default_op.fwd.padded_nnz
+
+
+def test_tune_composes_with_reorder():
+    from fastsparse.bench.matrices import ecfp_like
+
+    m = ecfp_like(1200, 800, bits_per_compound=24, n_scaffolds=12)
+    op = fs.operator(m, reorder="tilepack", tune=True, transpose=False)
+    X = np.random.default_rng(5).standard_normal((800, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.matmat(X)), m @ X, rtol=2e-5, atol=1e-4
+    )

@@ -20,13 +20,13 @@ from .reorder.sort import sort_coo, ORDERINGS
 from .reorder.morton import morton_key, morton_key64
 from .reorder.hilbert import hilbert_key, hilbert_key64, hilbert_d2xy
 from .ops.spmv import spmv, spmv_t
-from .ops.spmm import spmm, spmm_t
+from .ops.spmm import spmm, spmm_t, spmm_dd
 from .ops.ata import ata_x, ata_X, aat_x
 from .ops.spgemm import spgemm, spgemm_info
 from .tuning import optimal_buckets, tuned_config
 from .update import ValueUpdater, value_updater
 from .utils.debug import validate
-from .solvers.cg import cg, cg_normal, CGResult
+from .solvers.cg import cg, cg_normal, normal_jacobi, CGResult
 from . import io
 from . import bench
 from . import parallel
@@ -76,9 +76,15 @@ __all__ = [
     "aat_x",
     "spgemm",
     "spgemm_info",
+    "spmm_dd",
+    "optimal_buckets",
+    "tuned_config",
+    "ValueUpdater",
+    "value_updater",
     "validate",
     "cg",
     "cg_normal",
+    "normal_jacobi",
     "CGResult",
     "io",
     "bench",

@@ -25,6 +25,11 @@ def sublanes_for(dtype) -> int:
 
 LANES = 128  # TPU lane width: last-dim tiling unit for every dtype.
 
+# Column count above which execution formats segment the X panel. Chosen so
+# an unsegmented (ncol, 128) f32 panel fits the 12 MB VMEM residency budget
+# (segmentation splits rows across segments and ~doubles bucket padding).
+SEG_COLS = 24064
+
 
 @dataclasses.dataclass(frozen=True)
 class Config:

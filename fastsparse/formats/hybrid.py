@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DEFAULT, Config
+from ..config import DEFAULT, SEG_COLS, Config
 from ..utils.pytree import pytree_dataclass, static_field
 from .bsr import BsrMatrix, build_bsr
 from .coo import BinaryCOO, COO
@@ -87,10 +87,28 @@ def dense_tile_fraction(mat, config: Config = DEFAULT, threshold: int = 64) -> f
 def build_hybrid(
     mat,
     config: Config = DEFAULT,
-    threshold: int = 64,
-    seg_cols: int = 16384,
+    threshold="auto",
+    seg_cols: int = SEG_COLS,
     dtype=None,
 ) -> HybridMatrix:
+    """Split ``mat`` into dense tiles (MXU) + scattered tail (gather).
+
+    ``threshold='auto'`` picks the occupancy cutoff minimizing the modeled
+    product cost from this matrix's tile histogram (`bench.model`); an int
+    pins it explicitly.
+    """
+    if threshold == "auto":
+        from ..bench.model import auto_threshold
+
+        if isinstance(mat, (CSR, BinaryCSR)):
+            mat = mat.to_coo()
+        threshold = auto_threshold(
+            np.asarray(mat.rows)[: mat.n_valid],
+            np.asarray(mat.cols)[: mat.n_valid],
+            mat.shape,
+            config.tile_m,
+            config.tile_k,
+        )
     rows, cols, vals, shape, binary, sel = _split_host(
         mat, config.tile_m, config.tile_k, threshold
     )
@@ -102,12 +120,15 @@ def build_hybrid(
 
     dense = sparse = None
     n_dense = int(sel.sum())
+    # balanced 128-aligned segment widths (see linops._balanced_seg_cols)
+    nseg = -(-shape[1] // seg_cols)
+    seg_w = -(-(-(-shape[1] // nseg)) // 128) * 128
     if n_dense:
         if shape[1] > seg_cols:
             from .segmented import build_bsr_segmented
 
             dense = build_bsr_segmented(
-                make_coo(sel), config=config, seg_cols=seg_cols, dtype=dtype
+                make_coo(sel), config=config, seg_cols=seg_w, dtype=dtype
             )
         else:
             dense = build_bsr(make_coo(sel), config=config, dtype=dtype)
@@ -115,7 +136,7 @@ def build_hybrid(
         rest = make_coo(~sel)
         if shape[1] > seg_cols:
             sparse = build_ell_segmented(
-                rest, config=config, seg_cols=seg_cols, dtype=dtype
+                rest, config=config, seg_cols=seg_w, dtype=dtype
             )
         else:
             sparse = build_ell(rest, config=config, dtype=dtype)

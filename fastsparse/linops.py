@@ -16,7 +16,7 @@ from typing import Any, Optional
 
 import jax.numpy as jnp
 
-from .config import DEFAULT, Config
+from .config import DEFAULT, SEG_COLS, Config
 from .formats.bsr import BsrMatrix, build_bsr
 from .formats.hybrid import HybridMatrix, build_hybrid, dense_tile_fraction
 from .formats.convert import to_coo
@@ -121,12 +121,17 @@ class SparseOperator:
 
 _FORMATS = ("auto", "bsr", "ell", "ell-seg", "hybrid", "coo", "csr")
 
-# X panels above this column count get segmented so the gather engine can
-# keep each segment VMEM-resident at full lane width.
-SEG_COLS = 16384
 # Tiles emptier than this run faster on the gather engine than on the MXU
 # tile path (BSR per-tile cost ~50 ns vs ~1.5 ns per ELL slot).
 BSR_OCCUPANCY_THRESHOLD = 0.02
+
+
+def _balanced_seg_cols(ncol: int) -> int:
+    """Equal-width segments (128-aligned) instead of full+remainder: a
+    short tail segment still pays full bucket padding for every row that
+    appears in it, so balance minimizes the worst case."""
+    nseg = -(-ncol // SEG_COLS)
+    return -(-(-(-ncol // nseg)) // 128) * 128
 
 
 def tile_occupancy_estimate(coo, config: Config = DEFAULT) -> float:
@@ -144,25 +149,26 @@ def tile_occupancy_estimate(coo, config: Config = DEFAULT) -> float:
 
 
 def _compile_one(coo, fmt: str, config: Config, dtype):
+    seg = _balanced_seg_cols(coo.shape[1])
     if fmt == "bsr":
         if coo.shape[1] > SEG_COLS:
             from .formats.segmented import build_bsr_segmented
 
             return build_bsr_segmented(
-                coo, config=config, seg_cols=SEG_COLS, dtype=dtype
+                coo, config=config, seg_cols=seg, dtype=dtype
             )
         return build_bsr(coo, config=config, dtype=dtype)
     if fmt == "ell":
         if coo.shape[1] > SEG_COLS:
             return build_ell_segmented(
-                coo, config=config, seg_cols=SEG_COLS, dtype=dtype
+                coo, config=config, seg_cols=seg, dtype=dtype
             )
         return build_ell(coo, config=config, dtype=dtype)
     if fmt == "hybrid":
         return build_hybrid(coo, config=config, seg_cols=SEG_COLS, dtype=dtype)
     if fmt == "ell-seg":
         return build_ell_segmented(
-            coo, config=config, seg_cols=SEG_COLS, dtype=dtype
+            coo, config=config, seg_cols=seg, dtype=dtype
         )
     if fmt == "csr":
         from .formats.convert import to_csr
@@ -261,14 +267,36 @@ def operator(
         if vdtype in (jnp.float32, jnp.bfloat16):
             # MXU tile path only pays off when tiles are reasonably full;
             # mixed structure splits (hybrid); hypersparse structure runs
-            # the gather engine.
+            # the gather engine. Hybrid-vs-ELL decided by the measured
+            # cost model (bench.model) on this matrix's tile histogram.
             occ = tile_occupancy_estimate(coo, config)
             if occ >= BSR_OCCUPANCY_THRESHOLD:
                 format = "bsr"
-            elif dense_tile_fraction(coo, config) >= 0.05:
-                format = "hybrid"
             else:
-                format = "ell"
+                import numpy as np
+
+                from .bench.model import (
+                    GATHER_PAD,
+                    GATHER_SLOT_S,
+                    _tile_counts,
+                    auto_threshold_from_counts,
+                )
+
+                cnt = _tile_counts(
+                    np.asarray(coo.rows)[: coo.n_valid],
+                    np.asarray(coo.cols)[: coo.n_valid],
+                    coo.shape,
+                    config.tile_m,
+                    config.tile_k,
+                )
+                th, hybrid_cost = auto_threshold_from_counts(cnt)
+                all_sparse = GATHER_SLOT_S * GATHER_PAD * int(cnt.sum())
+                fmt_is_hybrid = (
+                    cnt.size > 0
+                    and th <= int(cnt.max())
+                    and hybrid_cost < 0.9 * all_sparse
+                )
+                format = "hybrid" if fmt_is_hybrid else "ell"
         else:
             format = "ell"
 

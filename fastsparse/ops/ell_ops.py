@@ -17,7 +17,11 @@ __all__ = ["ell_spmm", "ell_spmm_dd", "gather_engine_supported", "gather_engine_
 
 LANES = 128
 _SMEM_IDX_BUDGET = 32 * 1024  # flat entries per call (cols + vals in SMEM)
-X_VMEM_BUDGET = 10 * 1024 * 1024
+# X panel residency budget. 12 MB (same as the BSR resident budget) lets a
+# ~24k-column matrix run unsegmented at n_block=128 — column segmentation
+# splits rows across segments and roughly doubles bucket padding, so one
+# segment is worth pushing for.
+X_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 from ..utils.shapes import round_up as _round_up
@@ -65,12 +69,33 @@ def _seg_spmm(ell: EllMatrix, Xseg, Y, n_block: int):
     return Y
 
 
+@jax.jit
+def _dd_add(ah, al, bh, bl):
+    """Elementwise double-word addition (TwoSum + renormalize), f32.
+
+    Safe under the terminal's forced ``--xla_allow_excess_precision``:
+    all arithmetic is native f32 (the flag only elides *narrowing cast*
+    round-trips, which this never performs — CLAUDE.md).
+    """
+    s = ah + bh
+    v = s - ah
+    e = (ah - (s - v)) + (bh - v)
+    lo = al + bl + e
+    hi = s + lo
+    return hi, lo - (hi - s)
+
+
 def ell_spmm_dd(A, X):
-    """EXPERIMENTAL fp64-class ``Y = A @ X`` for unit-values (binary)
-    matrices on f32 hardware: the f64 operand is split into hi/lo f32
-    planes and accumulated with an error-free TwoSum chain
-    (`ell_bucket_spmm_dd`). Returns float64 (rel ~1e-13 vs a true fp64
-    product for moderate row lengths — under the 1e-10 parity bar).
+    """fp64-class ``Y = A @ X`` for unit-values (binary) matrices on f32
+    hardware: the f64 operand splits into hi/lo f32 planes and every sum
+    runs an error-free TwoSum chain (`ell_bucket_spmm_dd`). Returns
+    float64, rel ~1e-13 vs a true fp64 product for moderate row lengths —
+    under the 1e-10 parity bar (BASELINE.json:5) with no emulated-f64 ops.
+
+    Accumulation is fully on device: within a segment every row lives in
+    exactly one bucket (width bucketing), so scatters are single writes
+    (exact); segment partials merge with `_dd_add`. Host work is the
+    operand split and one final fetch.
 
     A: EllMatrix or SegmentedEll with ``unit_vals=True``; X: f64[ncol, N].
     """
@@ -89,7 +114,6 @@ def ell_spmm_dd(A, X):
     )
     Yhi = jnp.zeros((nrow, Npad), jnp.float32)
     Ylo = jnp.zeros((nrow, Npad), jnp.float32)
-    out = np.zeros((nrow, Npad), np.float64)
     for off, seg in segs:
         if not getattr(seg, "unit_vals", False):
             raise ValueError("ell_spmm_dd requires a binary (unit) matrix")
@@ -102,13 +126,18 @@ def ell_spmm_dd(A, X):
         x2[:seg_ncol, :N] = hi
         x2[rows_pad : rows_pad + seg_ncol, :N] = lo
         x2j = jnp.asarray(x2)
+        Shi = jnp.zeros((nrow, Npad), jnp.float32)
+        Slo = jnp.zeros((nrow, Npad), jnp.float32)
         for b in seg.buckets:
             for row_ids, cols, _vals in _bucket_chunks(b, seg):
                 yh, yl = ell_bucket_spmm_dd(cols, x2j, n_block=n_block)
-                rid = np.asarray(row_ids)
-                np.add.at(out, rid, np.asarray(yh, np.float64))
-                np.add.at(out, rid, np.asarray(yl, np.float64))
-    return out[:, :N]
+                # each real row appears once per segment; padding rows add 0
+                Shi = Shi.at[row_ids].add(yh)
+                Slo = Slo.at[row_ids].add(yl)
+        Yhi, Ylo = _dd_add(Yhi, Ylo, Shi, Slo)
+    return (
+        np.asarray(Yhi, np.float64) + np.asarray(Ylo, np.float64)
+    )[:, :N]
 
 
 def ell_spmm(A, X, *, n_block: int | None = None) -> jax.Array:

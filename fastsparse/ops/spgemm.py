@@ -347,7 +347,39 @@ def _pow2(x):
     return 1 if x <= 1 else 1 << (int(x) - 1).bit_length()
 
 
-def spgemm_device(A, B, config: Config = DEFAULT, caps: dict | None = None):
+@partial(jax.jit, static_argnames=("tm", "tk", "n_jslabs"))
+def _compact_device(C_tiles, uo_key, *, tm, tk, n_jslabs):
+    """Dense product tiles -> entry-compacted COO arrays, on device.
+
+    Live entries sort to a contiguous prefix (padding rows/cols point at
+    0 with zero values — harmless by convention). Returns
+    ``(rows, cols, vals, n_live)`` with capacity ``n_tiles·tm·tk``.
+    """
+    nt = C_tiles.shape[0]
+    valid_tile = uo_key != _SENTINEL
+    strip = jnp.where(valid_tile, uo_key // n_jslabs, 0)
+    jslab = jnp.where(valid_tile, uo_key % n_jslabs, 0)
+    r_in = jax.lax.broadcasted_iota(jnp.int32, (nt, tm, tk), 1)
+    c_in = jax.lax.broadcasted_iota(jnp.int32, (nt, tm, tk), 2)
+    rows = (strip[:, None, None] * tm + r_in).reshape(-1)
+    cols = (jslab[:, None, None] * tk + c_in).reshape(-1)
+    vals = C_tiles.reshape(-1)
+    live = (vals != 0) & jnp.repeat(valid_tile, tm * tk)
+    # sort key: dead entries to the tail, live entries keep tile order
+    key = jnp.where(live, jnp.arange(vals.shape[0], dtype=jnp.int32),
+                    jnp.int32(vals.shape[0]))
+    key, rows, cols, vals = jax.lax.sort(
+        [key, rows, cols, vals], num_keys=1, is_stable=True
+    )
+    rows = jnp.where(key < vals.shape[0], rows, 0)
+    cols = jnp.where(key < vals.shape[0], cols, 0)
+    return rows, cols, vals, live.sum()
+
+
+def spgemm_device(
+    A, B, config: Config = DEFAULT, caps: dict | None = None,
+    out_format: str = "tiles",
+):
     """``C = A @ B`` entirely on device — one compiled program.
 
     Symbolic (tile discovery, k-join, fused output-nnz estimation), tile
@@ -361,6 +393,11 @@ def spgemm_device(A, B, config: Config = DEFAULT, caps: dict | None = None):
     where ``uo_key = strip·n_jslabs + jslab`` per output tile (sentinel =
     padding) and ``info`` carries est_nnz/n_pairs. Raises if a cap
     overflows (re-run with larger caps).
+
+    ``out_format='coo'`` additionally runs the on-device entry compaction
+    (`_compact_device`): returns ``(C_coo, info)`` with live entries a
+    contiguous prefix, ``info['nnz']`` exact — no host round-trip over
+    the dense tiles (docs/ROADMAP.md item 9, second half).
     """
     TM, TK = config.tile_m, config.tile_k
     ra, ca, va, (ma, ka) = _host_coo(A)
@@ -412,6 +449,17 @@ def spgemm_device(A, B, config: Config = DEFAULT, caps: dict | None = None):
         "shape": (ma, nb),
         "n_jslabs": n_jslabs,
     }
+    if out_format == "coo":
+        rows, cols, vals, n_live = _compact_device(
+            C_tiles, uo_key, tm=TM, tk=TK, n_jslabs=n_jslabs
+        )
+        info["nnz"] = int(n_live)
+        # live entries are a contiguous prefix after the compaction sort
+        C = COO(
+            rows=rows, cols=cols, vals=vals,
+            shape=(ma, nb), n_valid=int(n_live),
+        )
+        return C, info
     return C_tiles, uo_key, info
 
 

@@ -17,7 +17,7 @@ from ..formats.coo import COO, BinaryCOO
 from ..formats.csr import CSR, BinaryCSR
 from ..formats.ell import EllMatrix
 
-__all__ = ["spmm", "spmm_t"]
+__all__ = ["spmm", "spmm_t", "spmm_dd"]
 
 _CHUNK = 32768  # nonzeros per scan step in the streaming COO engine
 
@@ -109,6 +109,34 @@ def spmm(A, X):
         return acc
     rows, cols, vals = _coo_arrays(A)
     return _stream_scatter(rows, cols, vals, X, A.shape[0])
+
+
+def spmm_dd(A, X):
+    """fp64-class ``Y = A @ X`` on f32 hardware (binary matrices).
+
+    Compensated double-word gather (`ops.ell_ops.ell_spmm_dd`): the f64
+    operand splits into hi/lo f32 planes, sums run error-free TwoSum
+    chains, result is float64 at rel ~1e-13 — the TPU answer to the
+    reference's fp64 ``SparseDoubleMatrix`` products (SURVEY.md §2 R4)
+    without emulated-f64 arithmetic. ``A``: unit-values EllMatrix /
+    SegmentedEll, or a SparseOperator whose forward tiling is one
+    (permutations are applied at the boundary). Host-level entry point —
+    not jittable (returns a NumPy array after one device fetch).
+    """
+    import numpy as np
+
+    from ..linops import SparseOperator
+    from .ell_ops import ell_spmm_dd
+
+    if isinstance(A, SparseOperator):
+        Xp = np.asarray(X, np.float64)
+        if A.col_perm is not None:
+            Xp = Xp[np.asarray(A.col_perm)]
+        Y = ell_spmm_dd(A.fwd, Xp)
+        if A.row_inv is not None:
+            Y = Y[np.asarray(A.row_inv)]
+        return Y
+    return ell_spmm_dd(A, X)
 
 
 def spmm_t(A, X):

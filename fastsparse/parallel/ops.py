@@ -60,13 +60,39 @@ def make_row_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
 
 
 def shard_partitioned(Ap: RowPartitioned, mesh: Mesh, axis: str = "rows"):
-    """Place the stacked shard arrays so leading axis maps to the mesh."""
+    """Place the stacked shard arrays so leading axis maps to the mesh.
+
+    Reorder permutations (global (nrow,)/(ncol,) vectors) are replicated —
+    they are consumed at the operand boundary, not inside shard_map.
+    """
 
     def put(x):
         spec = P(axis, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, Ap)
+    def rep(x):
+        return (
+            None if x is None else jax.device_put(x, NamedSharding(mesh, P()))
+        )
+
+    import dataclasses
+
+    sharded = jax.tree.map(
+        put,
+        (Ap.local, Ap.blocks, Ap.local_bsr, Ap.local_bsr_t, Ap.blocks_bsr),
+    )
+    return dataclasses.replace(
+        Ap,
+        local=sharded[0],
+        blocks=sharded[1],
+        local_bsr=sharded[2],
+        local_bsr_t=sharded[3],
+        blocks_bsr=sharded[4],
+        row_perm=rep(Ap.row_perm),
+        col_perm=rep(Ap.col_perm),
+        row_inv=rep(Ap.row_inv),
+        col_inv=rep(Ap.col_inv),
+    )
 
 
 def _local(tree):
@@ -80,11 +106,15 @@ def _take_block(tree, q):
 
 
 def pad_operand(v, Ap: RowPartitioned, side: str):
-    """Zero-pad a global dense operand to the padded partitioned extent.
+    """Permute (if the partition was reordered) and zero-pad a global dense
+    operand to the padded partitioned extent.
 
     side='cols': operand indexed by columns (x of A·x) -> P·col_block.
     side='rows': operand indexed by rows (x of Aᵀ·x)   -> P·row_block.
     """
+    perm = Ap.col_perm if side == "cols" else Ap.row_perm
+    if perm is not None:
+        v = v[perm]
     n = Ap.n_shards * (Ap.col_block if side == "cols" else Ap.row_block)
     pad = n - v.shape[0]
     if pad == 0:
@@ -94,6 +124,7 @@ def pad_operand(v, Ap: RowPartitioned, side: str):
 
 
 def unpad_result(v, Ap: RowPartitioned, side: str):
+    """Trim padding and undo the partition's reorder permutation."""
     n = Ap.shape[0] if side == "rows" else Ap.shape[1]
     if (
         isinstance(v, jax.Array)
@@ -103,7 +134,11 @@ def unpad_result(v, Ap: RowPartitioned, side: str):
         # Slicing a sharded dim is ambiguous under sharding-in-types;
         # replicate first (host-side convenience path only).
         v = jax.device_put(v, NamedSharding(v.sharding.mesh, P()))
-    return v[:n]
+    v = v[:n]
+    inv = Ap.row_inv if side == "rows" else Ap.col_inv
+    if inv is not None:
+        v = v[inv]
+    return v
 
 
 def _spmv_local(A_coo: COO, x, n_out: int):

@@ -60,6 +60,12 @@ class RowPartitioned:
     n_shards: int = static_field()
     row_block: int = static_field()  # rows per shard (padded)
     col_block: int = static_field()  # cols per source block (padded)
+    # reorder permutations (None = identity): the partition holds the
+    # permuted matrix; operands permute at the boundary (parallel.ops)
+    row_perm: Optional[jax.Array] = None
+    col_perm: Optional[jax.Array] = None
+    row_inv: Optional[jax.Array] = None
+    col_inv: Optional[jax.Array] = None
 
 
 def _to_host_coo(mat, dtype):
@@ -175,6 +181,7 @@ def partition_rows(
     dtype=None,
     build_blocks: bool = True,
     build_bsr_shards: bool = False,
+    reorder: Optional[str] = None,
 ) -> RowPartitioned:
     """Partition ``mat`` (scipy / COO / CSR) into ``n_shards`` row blocks.
 
@@ -184,10 +191,47 @@ def partition_rows(
     zero-valued and mask-free. With ``build_bsr_shards=True`` each shard is
     additionally compiled to tiled BSR (forward + dual transpose tiling)
     so the distributed products run the Pallas MXU kernels.
+
+    ``reorder`` ('degree' | 'minhash' | 'tilepack' | 'auto') permutes
+    rows/columns before partitioning — better per-shard tile density for
+    the BSR engine (note: degree order *concentrates* heavy rows into the
+    first shards; prefer 'tilepack'/'minhash' when shard balance matters).
+    Operands are permuted at the boundary by `parallel.ops.pad_operand` /
+    `unpad_result`.
     """
     rows, cols, vals, shape = _to_host_coo(mat, dtype)
     nrow, ncol = shape
     P = int(n_shards)
+
+    row_perm = col_perm = row_inv = col_inv = None
+    if reorder not in (None, "none"):
+        from ..reorder.cluster import (
+            best_perms,
+            degree_perms,
+            invert_perm,
+            minhash_perms,
+            tilepack_perms,
+        )
+
+        gcoo = COO.from_arrays(rows, cols, vals, shape)
+        fn = {
+            "degree": degree_perms,
+            "minhash": minhash_perms,
+            "tilepack": tilepack_perms,
+            "auto": best_perms,
+        }.get(reorder)
+        if fn is None:
+            raise ValueError(f"unknown reorder {reorder!r}")
+        row_perm, col_perm = fn(gcoo)
+        if row_perm is not None:
+            row_inv = invert_perm(row_perm)
+            col_inv = invert_perm(col_perm)
+            rinv = np.asarray(row_inv, np.int64)
+            cinv = np.asarray(col_inv, np.int64)
+            rows = rinv[rows]
+            cols = cinv[cols]
+        else:
+            row_perm = col_perm = None
     vdtype = vals.dtype
     row_block = _round_up(max(-(-nrow // P), 1), 8)
     col_block = _round_up(max(-(-ncol // P), 1), 8)
@@ -285,4 +329,8 @@ def partition_rows(
         n_shards=P,
         row_block=row_block,
         col_block=col_block,
+        row_perm=row_perm,
+        col_perm=col_perm,
+        row_inv=row_inv,
+        col_inv=col_inv,
     )

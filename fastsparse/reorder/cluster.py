@@ -214,20 +214,19 @@ def tilepack_perms(
     return jnp.asarray(rp.astype(np.int32)), jnp.asarray(cp.astype(np.int32))
 
 
-def _ordering_cost(rows, cols, shape, rinv, cinv, tm=8, tk=128, thresh=64):
-    """Modeled seconds/product: dense tiles at ~50 ns each + sparse slots
-    at ~3.5 ns (measured on v5e — CLAUDE.md)."""
+def _ordering_cost(rows, cols, shape, rinv, cinv, tm=8, tk=128):
+    """Modeled seconds/product under the hybrid split at its best
+    threshold (shared measured constants — `bench.model`)."""
     import numpy as np
+
+    from ..bench.model import auto_threshold_from_counts
 
     r2 = rinv[rows] if rinv is not None else rows
     c2 = cinv[cols] if cinv is not None else cols
     nsl = max(-(-shape[1] // tk), 1)
     pair = (r2 // tm) * nsl + c2 // tk
-    _, inv, cnt = np.unique(pair, return_inverse=True, return_counts=True)
-    dense = cnt >= thresh
-    n_dense_tiles = int(dense.sum())
-    sparse_nnz = int(cnt[~dense].sum())
-    return 50e-9 * n_dense_tiles + 3.5e-9 * 1.5 * sparse_nnz
+    _, cnt = np.unique(pair, return_counts=True)
+    return auto_threshold_from_counts(cnt)[1]
 
 
 def best_perms(coo):

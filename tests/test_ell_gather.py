@@ -93,3 +93,17 @@ def test_compensated_dd_gather():
     S = build_ell_segmented(fs.binary_coo_from_scipy(m), seg_cols=48)
     Ys = ell_spmm_dd(S, X)
     assert np.max(np.abs(Ys - ref) / scale) < 1e-10
+
+
+def test_spmm_dd_operator_level():
+    """spmm_dd through a SparseOperator with permutations."""
+    import fastsparse as fs
+
+    m = C.random_csr(120, 100, 0.06, seed=40, binary=True)
+    rng = np.random.default_rng(41)
+    X = rng.standard_normal((100, 4)) * (10.0 ** rng.integers(-5, 5, (100, 4)))
+    op = fs.operator(m, format="ell", reorder="degree", transpose=False)
+    Y = fs.spmm_dd(op, X)
+    ref = (m @ X).astype(np.float64)
+    scale = np.abs(ref).max(axis=0, keepdims=True) + 1e-300
+    assert np.max(np.abs(Y - ref) / scale) < 1e-10

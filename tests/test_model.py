@@ -1,0 +1,62 @@
+"""Engine cost model (`bench.model`): threshold selection properties."""
+import numpy as np
+
+from fastsparse.bench.model import (
+    DENSE_TILE_S,
+    GATHER_PAD,
+    GATHER_SLOT_S,
+    auto_threshold_from_counts,
+)
+
+
+def _explicit_cost(cnt, th):
+    cnt = np.asarray(cnt)
+    dense = cnt >= th
+    return DENSE_TILE_S * dense.sum() + GATHER_SLOT_S * GATHER_PAD * cnt[~dense].sum()
+
+
+def test_auto_threshold_is_optimal_over_candidates():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        cnt = rng.integers(1, 200, rng.integers(5, 300))
+        th, cost = auto_threshold_from_counts(cnt)
+        cands = list(range(1, int(cnt.max()) + 2))
+        best = min(_explicit_cost(cnt, t) for t in cands)
+        assert np.isclose(cost, best, rtol=1e-12)
+        assert np.isclose(_explicit_cost(cnt, th), best, rtol=1e-12)
+
+
+def test_auto_threshold_degenerate():
+    th, cost = auto_threshold_from_counts([])
+    assert cost == 0.0
+    # all tiles nearly full -> everything dense, threshold low
+    th, _ = auto_threshold_from_counts([1000] * 50)
+    assert th <= 1000
+    # all tiles nearly empty -> everything sparse (threshold above max)
+    th, cost = auto_threshold_from_counts([1, 1, 2])
+    assert th > 2
+    assert np.isclose(cost, GATHER_SLOT_S * GATHER_PAD * 4)
+
+
+def test_hybrid_auto_threshold_build():
+    import scipy.sparse as sp
+
+    import fastsparse as fs
+    from fastsparse.formats.hybrid import build_hybrid
+
+    rng = np.random.default_rng(1)
+    # half the matrix dense blocks, half scattered
+    blocks = sp.random(64, 256, density=0.8, random_state=2, dtype=np.float32)
+    scatter = sp.random(64, 256, density=0.005, random_state=3, dtype=np.float32)
+    m = sp.vstack([blocks, scatter]).tocoo()
+    coo = fs.coo_from_scipy(m)
+    h = build_hybrid(coo)  # threshold="auto"
+    # the dense blocks land on the MXU path, the scattered tail on the
+    # gather engine (the exact threshold value may sit anywhere inside the
+    # gap between the two tile populations — the split is what matters)
+    assert h.dense is not None
+    assert h.sparse is not None
+    assert h.dense_fraction > 0.5
+    np.testing.assert_allclose(
+        np.asarray(h.todense()), m.toarray(), rtol=1e-6, atol=1e-6
+    )

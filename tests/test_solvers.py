@@ -4,6 +4,8 @@ import numpy as np
 
 import conftest as C
 
+import fastsparse as fs
+
 from fastsparse import operator
 from fastsparse.solvers import cg, cg_normal
 
@@ -46,3 +48,35 @@ def test_cg_no_retrace():
     r1 = cg_normal(op, jnp.asarray(rng.standard_normal(60)), reg=0.1)
     r2 = cg_normal(op, jnp.asarray(rng.standard_normal(60)), reg=0.2)
     assert r1.x.shape == r2.x.shape
+
+
+def test_pcg_normal_jacobi_fewer_iters():
+    from fastsparse.solvers.cg import normal_jacobi
+
+    # power-law columns: wildly varying normal-equation diagonal
+    m = C.powerlaw_csr(3000, 800, 40000, seed=20, dtype=np.float64)
+    op = fs.operator(m, format="ell", transpose=True)
+    rng = np.random.default_rng(21)
+    b = rng.standard_normal(800)
+    reg = 1e-3
+    plain = fs.cg_normal(op, b, reg=reg, tol=1e-10, maxiter=4000)
+    dinv = normal_jacobi(m, reg=reg)
+    pcg = fs.cg_normal(op, b, reg=reg, tol=1e-10, maxiter=4000, precond=dinv)
+    want = np.linalg.solve(
+        (m.T @ m).toarray() + reg * np.eye(800), b
+    )
+    np.testing.assert_allclose(np.asarray(pcg.x), want, rtol=1e-6, atol=1e-8)
+    assert int(pcg.iters) < int(plain.iters)
+
+
+def test_pcg_multi_rhs():
+    from fastsparse.solvers.cg import normal_jacobi
+
+    m = C.powerlaw_csr(1500, 400, 15000, seed=22, dtype=np.float64)
+    op = fs.operator(m, format="ell", transpose=True)
+    B = np.random.default_rng(23).standard_normal((400, 3))
+    reg = 1e-2
+    dinv = normal_jacobi(m, reg=reg)
+    res = fs.cg_normal(op, B, reg=reg, tol=1e-10, maxiter=3000, precond=dinv)
+    want = np.linalg.solve((m.T @ m).toarray() + reg * np.eye(400), B)
+    np.testing.assert_allclose(np.asarray(res.x), want, rtol=1e-6, atol=1e-8)

@@ -123,3 +123,25 @@ def test_spgemm_device_caps_reuse_and_overflow():
     with pytest.raises(ValueError, match="overflow"):
         spgemm_device(A, B, caps={"tiles_a": 4, "tiles_b": 4,
                                   "pairs": 4, "out_tiles": 4})
+
+
+def test_spgemm_device_coo_compaction():
+    from fastsparse.ops.spgemm import spgemm_device
+
+    A = sp.random(180, 140, density=0.04, random_state=7, dtype=np.float32)
+    B = sp.random(140, 160, density=0.04, random_state=8, dtype=np.float32)
+    C, info = spgemm_device(A, B, out_format="coo")
+    want = (A @ B).tocoo()
+    assert info["nnz"] == want.nnz
+    got = sp.coo_matrix(
+        (
+            np.asarray(C.vals)[: C.n_valid],
+            (np.asarray(C.rows)[: C.n_valid], np.asarray(C.cols)[: C.n_valid]),
+        ),
+        shape=C.shape,
+    )
+    np.testing.assert_allclose(
+        got.toarray(), want.toarray(), rtol=1e-5, atol=1e-6
+    )
+    # padding tail is all-zero values
+    assert (np.asarray(C.vals)[C.n_valid:] == 0).all()

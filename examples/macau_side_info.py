@@ -49,26 +49,32 @@ def main():
     # fake residual target panel (in Macau: latent residuals per compound)
     R = jnp.asarray(rng.standard_normal((A_sp.shape[0], n_latent)), jnp.float32)
 
+    # Jacobi preconditioner: power-law feature degrees make diag(AᵀA)
+    # span orders of magnitude — PCG cuts the CG iteration count.
+    dinv = fs.normal_jacobi(A_sp, reg=reg)
+
     @jax.jit
-    def gibbs_inner(A, R, key):
+    def gibbs_inner(A, R, dinv, key):
         noise = jax.random.normal(key, (A.shape[1], n_latent)) * 0.01
         rhs = A.rmatmat(R) + noise
-        sol = fs.cg_normal(A, rhs, reg=reg, tol=1e-5, maxiter=200)
+        sol = fs.cg_normal(
+            A, rhs, reg=reg, tol=1e-5, maxiter=200, precond=dinv
+        )
         return sol.x, sol.iters, sol.resnorm
 
     key = jax.random.key(0)
-    V, iters, res = gibbs_inner(A, R, key)
+    V, iters, res = gibbs_inner(A, R, dinv, key)
     jax.block_until_ready(V)
 
     t0 = time.perf_counter()
     n_samples = 5
     for s in range(n_samples):
         key, sub = jax.random.split(key)
-        V, iters, res = gibbs_inner(A, R, sub)
+        V, iters, res = gibbs_inner(A, R, dinv, sub)
     jax.block_until_ready(V)
     dt = (time.perf_counter() - t0) / n_samples
     print(
-        f"inner solve: {dt*1e3:.1f} ms/sample, cg_iters={int(iters)}, "
+        f"inner solve: {dt*1e3:.1f} ms/sample, pcg_iters={int(iters)}, "
         f"max_res={float(jnp.max(res)):.2e}"
     )
 

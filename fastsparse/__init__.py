@@ -10,7 +10,7 @@ normal-equation products, and multi-host row-partitioned execution over
 from .config import Config, DEFAULT, LANES
 from .formats.coo import COO, BinaryCOO, coo_from_scipy, binary_coo_from_scipy
 from .formats.csr import CSR, BinaryCSR, csr_from_scipy, binary_csr_from_scipy
-from .formats.convert import to_csr, to_coo, transpose_coo
+from .formats.convert import to_csr, to_coo, transpose_coo, to_bcoo, from_bcoo
 from .formats.ell import EllMatrix, SegmentedEll, build_ell, build_ell_segmented
 from .formats.bsr import BsrMatrix, build_bsr
 from .formats.hybrid import HybridMatrix, build_hybrid
@@ -59,6 +59,8 @@ __all__ = [
     "to_csr",
     "to_coo",
     "transpose_coo",
+    "to_bcoo",
+    "from_bcoo",
     "build_ell",
     "sort_coo",
     "ORDERINGS",

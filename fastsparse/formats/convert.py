@@ -130,3 +130,43 @@ def transpose_coo(coo):
             n_valid=coo.n_valid,
         )
     return sort_coo(t, "row")
+
+
+def from_bcoo(mat):
+    """`jax.experimental.sparse.BCOO` -> COO (interop bridge).
+
+    Accepts an unbatched 2-D BCOO; duplicate indices are preserved (they
+    sum in products, matching BCOO semantics).
+    """
+    import jax.numpy as jnp
+
+    from .coo import COO
+
+    if mat.ndim != 2 or mat.indices.ndim != 2:
+        raise ValueError("only unbatched 2-D BCOO is supported")
+    rows = mat.indices[:, 0].astype(jnp.int32)
+    cols = mat.indices[:, 1].astype(jnp.int32)
+    return COO(
+        rows=rows,
+        cols=cols,
+        vals=mat.data,
+        shape=tuple(mat.shape),
+        n_valid=int(mat.nse),
+    )
+
+
+def to_bcoo(mat):
+    """COO/CSR (or any convertible) -> `jax.experimental.sparse.BCOO`."""
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+
+    coo = to_coo(mat)
+    n = coo.n_valid
+    rows = coo.rows[:n]
+    cols = coo.cols[:n]
+    if hasattr(coo, "vals"):
+        vals = coo.vals[:n]
+    else:
+        vals = jnp.ones((n,), jnp.float32)
+    indices = jnp.stack([rows, cols], axis=1)
+    return jsparse.BCOO((vals, indices), shape=tuple(coo.shape))

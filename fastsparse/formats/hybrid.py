@@ -120,15 +120,26 @@ def build_hybrid(
 
     dense = sparse = None
     n_dense = int(sel.sum())
-    # balanced 128-aligned segment widths (see linops._balanced_seg_cols)
-    nseg = -(-shape[1] // seg_cols)
-    seg_w = -(-(-(-shape[1] // nseg)) // 128) * 128
+    # balanced widths, per consuming kernel's X-residency cap (the BSR
+    # binary3 path ships 3 bf16 X planes -> tighter cap than f32 gather;
+    # see linops._balanced_seg_cols / BSR_SEG_COLS_*)
+    from ..linops import (
+        BSR_SEG_COLS_BINARY3,
+        BSR_SEG_COLS_F32,
+        _balanced_seg_cols,
+    )
+
+    is_binary3 = binary and dtype in (None, jnp.float32)
+    bsr_cap = BSR_SEG_COLS_BINARY3 if is_binary3 else BSR_SEG_COLS_F32
     if n_dense:
-        if shape[1] > seg_cols:
+        if shape[1] > bsr_cap:
             from .segmented import build_bsr_segmented
 
             dense = build_bsr_segmented(
-                make_coo(sel), config=config, seg_cols=seg_w, dtype=dtype
+                make_coo(sel),
+                config=config,
+                seg_cols=_balanced_seg_cols(shape[1], bsr_cap),
+                dtype=dtype,
             )
         else:
             dense = build_bsr(make_coo(sel), config=config, dtype=dtype)
@@ -136,7 +147,10 @@ def build_hybrid(
         rest = make_coo(~sel)
         if shape[1] > seg_cols:
             sparse = build_ell_segmented(
-                rest, config=config, seg_cols=seg_w, dtype=dtype
+                rest,
+                config=config,
+                seg_cols=_balanced_seg_cols(shape[1], seg_cols),
+                dtype=dtype,
             )
         else:
             sparse = build_ell(rest, config=config, dtype=dtype)

@@ -126,12 +126,25 @@ _FORMATS = ("auto", "bsr", "ell", "ell-seg", "hybrid", "coo", "csr")
 BSR_OCCUPANCY_THRESHOLD = 0.02
 
 
-def _balanced_seg_cols(ncol: int) -> int:
+def _balanced_seg_cols(ncol: int, cap: int = SEG_COLS) -> int:
     """Equal-width segments (128-aligned) instead of full+remainder: a
     short tail segment still pays full bucket padding for every row that
-    appears in it, so balance minimizes the worst case."""
-    nseg = -(-ncol // SEG_COLS)
-    return -(-(-(-ncol // nseg)) // 128) * 128
+    appears in it, so balance minimizes the worst case. Widths never
+    exceed ``cap`` (the X-residency boundary for the consuming kernel)."""
+    nseg = -(-ncol // cap)
+    w = -(-(-(-ncol // nseg)) // 128) * 128
+    while w > cap:  # 128-rounding may tip over the cap
+        nseg += 1
+        w = -(-(-(-ncol // nseg)) // 128) * 128
+    return w
+
+
+# X-residency column caps per kernel path (12 MB budget, n_block=128):
+# binary3 ships X as 3 stacked bf16 planes (6 B/element) -> 16384 cols
+# exactly; f32 X -> 24576. Segments wider than the cap silently fall
+# back to the slow streamed kernel — the caps keep segments resident.
+BSR_SEG_COLS_BINARY3 = 16384
+BSR_SEG_COLS_F32 = 24576
 
 
 def tile_occupancy_estimate(coo, config: Config = DEFAULT) -> float:
@@ -151,11 +164,19 @@ def tile_occupancy_estimate(coo, config: Config = DEFAULT) -> float:
 def _compile_one(coo, fmt: str, config: Config, dtype):
     seg = _balanced_seg_cols(coo.shape[1])
     if fmt == "bsr":
-        if coo.shape[1] > SEG_COLS:
+        is_binary3 = isinstance(coo, BinaryCOO) and dtype in (
+            None,
+            jnp.float32,
+        )
+        bsr_cap = BSR_SEG_COLS_BINARY3 if is_binary3 else BSR_SEG_COLS_F32
+        if coo.shape[1] > bsr_cap:
             from .formats.segmented import build_bsr_segmented
 
             return build_bsr_segmented(
-                coo, config=config, seg_cols=seg, dtype=dtype
+                coo,
+                config=config,
+                seg_cols=_balanced_seg_cols(coo.shape[1], bsr_cap),
+                dtype=dtype,
             )
         return build_bsr(coo, config=config, dtype=dtype)
     if fmt == "ell":

@@ -85,3 +85,21 @@ def test_ell_bucket_shapes_are_pow2_and_aligned():
     for b in ell.buckets:
         assert b.width & (b.width - 1) == 0  # power of two
         assert b.nb % 8 == 0  # sublane aligned
+
+
+def test_bcoo_interop_roundtrip():
+    import scipy.sparse as sp
+    from jax.experimental import sparse as jsparse
+
+    from fastsparse.formats.convert import from_bcoo, to_bcoo
+
+    m = sp.random(60, 40, density=0.1, random_state=5, dtype=np.float32)
+    coo = fs.coo_from_scipy(m.tocoo())
+    b = to_bcoo(coo)
+    assert isinstance(b, jsparse.BCOO)
+    np.testing.assert_allclose(np.asarray(b.todense()), m.toarray(), rtol=1e-6)
+    back = from_bcoo(b)
+    x = np.random.default_rng(6).standard_normal(40).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(fs.spmv(back, x)), m @ x, rtol=2e-5, atol=1e-5
+    )

@@ -29,6 +29,35 @@ GATHER_SLOT_S = 2.5e-9
 # Padding is folded into GATHER_SLOT_S (kept for API compatibility).
 GATHER_PAD = 1.0
 
+# BSR tile cost as a function of tile height (2026-08-17 tile_m sweep,
+# banded 50k bw512 binary N=128: 147/457/1816 ns per tile at tm=8/32/128):
+# cost(tm) ≈ TILE_BASE_S + tm · TILE_ROW_S. Fixed overheads (DMA
+# descriptors, slab index reads, loop issue) amortize over taller tiles,
+# so merging vertically-adjacent tiles pays whenever the merged tiling
+# has sufficiently fewer tiles.
+TILE_BASE_S = 45e-9
+TILE_ROW_S = 13.5e-9
+
+
+def best_tile_m(rows, cols, shape, tk=128, candidates=(8, 32, 128)):
+    """Tile height minimizing modeled BSR sweep cost for this structure.
+
+    Banded/blocked structure merges vertically (fewer, taller tiles →
+    fewer fixed overheads, fuller MXU rows: measured 1.3× on the blocked
+    binary headline); scattered structure doesn't merge and stays at 8.
+    """
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    n_slabs = max(-(-shape[1] // tk), 1)
+    best, best_cost = candidates[0], None
+    for tm in candidates:
+        pair = (rows // tm) * n_slabs + cols // tk
+        nt = np.unique(pair).size
+        cost = nt * (TILE_BASE_S + tm * TILE_ROW_S)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = tm, cost
+    return best
+
 
 def _tile_counts(rows, cols, shape, tm, tk):
     n_slabs = max(-(-shape[1] // tk), 1)

@@ -321,6 +321,25 @@ def operator(
         else:
             format = "ell"
 
+    if format == "bsr" and config is DEFAULT:
+        # Taller tiles amortize fixed per-tile overheads when structure
+        # merges vertically (banded/blocked: measured 1.3x at tm>=32);
+        # explicit configs are never overridden.
+        import dataclasses
+
+        import numpy as np
+
+        from .bench.model import best_tile_m
+
+        tm = best_tile_m(
+            np.asarray(coo.rows)[: coo.n_valid],
+            np.asarray(coo.cols)[: coo.n_valid],
+            coo.shape,
+            config.tile_k,
+        )
+        if tm != config.tile_m:
+            config = dataclasses.replace(config, tile_m=tm)
+
     fwd = _compile_one(coo, format, config, dtype)
     bwd = None
     if transpose:

@@ -150,8 +150,10 @@ def bsr_spmv(A: BsrMatrix, x) -> jax.Array:
         return coo_spmv(_as_coo(A), x)
 
     x_vmem_bytes = nsl * TK * x.dtype.itemsize
-    if x_vmem_bytes > 12 * 1024 * 1024:
-        # x too large for VMEM residency: run as a 1-column SpMM panel.
+    if x_vmem_bytes > 12 * 1024 * 1024 or TM > 32:
+        # x too large for VMEM residency (or wide tiles, whose batched
+        # mask expansion busts the SpMV kernel's scratch budget): run as
+        # a 1-column SpMM panel instead.
         return bsr_spmm(A, x[:, None], n_block=LANES)[:, 0]
 
     xp = jnp.zeros((nsl * TK,), x.dtype).at[:ncol].set(x).reshape(nsl, TK)

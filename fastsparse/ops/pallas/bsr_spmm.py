@@ -191,7 +191,11 @@ def bucket_spmm(
     out_dtype = jnp.float32 if binary3 else x.dtype
 
     if strategy == "resident":
-        SG = _SG if ns % _SG == 0 else 1
+        # Cap SG·TM (output rows per grid step): the batched bitmask
+        # expansion materializes (SG, TB, TM, TK) f32 in VMEM — at
+        # tile_m=128 the full SG=8 group is 16 MB and OOMs scoped vmem.
+        sg_max = min(_SG, max(1, 256 // tile_m))
+        SG = sg_max if ns % sg_max == 0 else 1
         TB = _TB if T % _TB == 0 else (2 if T % 2 == 0 else 1)
         if binary3:
             body = functools.partial(

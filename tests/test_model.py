@@ -60,3 +60,35 @@ def test_hybrid_auto_threshold_build():
     np.testing.assert_allclose(
         np.asarray(h.todense()), m.toarray(), rtol=1e-6, atol=1e-6
     )
+
+
+def test_best_tile_m():
+    from fastsparse.bench.model import best_tile_m
+    from fastsparse.bench.matrices import banded, powerlaw
+
+    mb = banded(5000, 256, seed=1, density=0.4).tocoo()
+    assert best_tile_m(mb.row, mb.col, mb.shape) >= 32
+    mp = powerlaw(5000, 5000, 30000, seed=2).tocoo()
+    assert best_tile_m(mp.row, mp.col, mp.shape) == 8
+
+
+def test_operator_auto_tile_m_banded():
+    import fastsparse as fs
+    from fastsparse.bench.matrices import banded
+
+    m = banded(2000, 128, seed=3, density=0.4)
+    m.data[:] = 1.0
+    op = fs.operator(m, format="bsr", transpose=False)
+    assert op.fwd.tile_m >= 32
+    X = np.random.default_rng(4).standard_normal((2000, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.matmat(X)), m @ X, rtol=2e-5, atol=1e-4
+    )
+    # any explicitly-passed config (even one equal to DEFAULT) is never
+    # overridden — auto tile_m applies only to the DEFAULT sentinel
+    op8 = fs.operator(m, format="bsr", transpose=False, config=fs.Config())
+    assert op8.fwd.tile_m == 8
+    opx = fs.operator(
+        m, format="bsr", transpose=False, config=fs.Config(tile_m=8, tile_k=128)
+    )
+    assert opx.fwd.tile_m == 8

@@ -131,6 +131,17 @@ def build_hybrid(
 
     is_binary3 = binary and dtype in (None, jnp.float32)
     bsr_cap = BSR_SEG_COLS_BINARY3 if is_binary3 else BSR_SEG_COLS_F32
+    if n_dense and config.tile_m == DEFAULT.tile_m:
+        # taller tiles for the dense core when its structure merges
+        # vertically (scaffold blocks span many adjacent rows after
+        # tilepack regrouping) — same rule as operator()'s BSR path
+        import dataclasses
+
+        from ..bench.model import best_tile_m
+
+        tm = best_tile_m(rows[sel], cols[sel], shape, config.tile_k)
+        if tm != config.tile_m:
+            config = dataclasses.replace(config, tile_m=tm)
     if n_dense:
         if shape[1] > bsr_cap:
             from .segmented import build_bsr_segmented

@@ -118,7 +118,9 @@ def bsr_spmm(
         )
 
     # Dump strip nsp catches padding bucket slots (strip_ids == nsp).
-    Y = jnp.zeros((nsp + 1, TM, Npad), X.dtype)
+    # One batched scatter: per-chunk .at[].set makes XLA rewrite the full
+    # Y buffer per chunk (same copy pathology as ell_ops._seg_spmm).
+    sids, parts = [], []
     for b in A.buckets:
         for strip_ids, slab_ids, tiles in _bucket_chunks(b, nsp):
             Yb = bucket_spmm(
@@ -132,8 +134,11 @@ def bsr_spmm(
                 strategy=strategy,
                 precision=precision,
             )
-            ns_c = slab_ids.shape[0]
-            Y = Y.at[strip_ids].set(Yb.reshape(ns_c, TM, Npad))
+            sids.append(strip_ids)
+            parts.append(Yb.reshape(slab_ids.shape[0], TM, Npad))
+    Y = jnp.zeros((nsp + 1, TM, Npad), X.dtype)
+    if parts:
+        Y = Y.at[jnp.concatenate(sids)].set(jnp.concatenate(parts, axis=0))
     return Y[:nsp].reshape(nsp * TM, Npad)[:nrow, :N]
 
 

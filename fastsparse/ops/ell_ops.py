@@ -16,7 +16,15 @@ from .pallas.ell_spmm import ELL_GROUP, ell_bucket_spmm, ell_bucket_spmm_dd
 __all__ = ["ell_spmm", "ell_spmm_dd", "gather_engine_supported", "gather_engine_fits"]
 
 LANES = 128
-_SMEM_IDX_BUDGET = 32 * 1024  # flat entries per call (cols + vals in SMEM)
+# Flat entries per kernel call, bounded by SMEM (1 MB/core): unit mode
+# prefetches cols only (int32 -> 512 KB at 128k), valued mode cols+vals
+# (512 KB combined at 64k). Each chunk is a separate pallas call with its
+# own launch + X-panel DMA — a 262k-row power-law matrix at the old 32k
+# budget needed 224 calls (~35 ms of pure overhead), so the budget is the
+# lever for hypersparse throughput.
+_SMEM_IDX_BUDGET_UNIT = 128 * 1024
+_SMEM_IDX_BUDGET_VALUED = 64 * 1024
+_SMEM_IDX_BUDGET = _SMEM_IDX_BUDGET_UNIT  # compat alias (unit default)
 # X panel residency budget. 12 MB (same as the BSR resident budget) lets a
 # ~24k-column matrix run unsegmented at n_block=128 — column segmentation
 # splits rows across segments and roughly doubles bucket padding, so one
@@ -40,7 +48,12 @@ def gather_engine_fits(ncol: int, n_rhs: int, itemsize: int = 4) -> bool:
 def _bucket_chunks(b, ell):
     """Fixed-nb chunks of a bucket whose flat cols fit the SMEM budget."""
     nb, K = b.cols.shape
-    nb_max = max(ELL_GROUP, (_SMEM_IDX_BUDGET // max(K, 1)) // 8 * 8)
+    budget = (
+        _SMEM_IDX_BUDGET_UNIT
+        if getattr(ell, "unit_vals", False)
+        else _SMEM_IDX_BUDGET_VALUED
+    )
+    nb_max = max(ELL_GROUP, (budget // max(K, 1)) // 8 * 8)
     if nb <= nb_max:
         yield b.row_ids, b.cols, b.vals
         return
@@ -59,14 +72,23 @@ def _bucket_chunks(b, ell):
 
 
 def _seg_spmm(ell: EllMatrix, Xseg, Y, n_block: int):
-    """Accumulate one segment's product into Y f32[nrow, Npad]."""
+    """Accumulate one segment's product into Y f32[nrow, Npad].
+
+    All bucket/chunk outputs scatter in ONE ``.at[].add`` — per-chunk
+    scatters made XLA rewrite the full Y buffer once per chunk (~285 µs
+    each on a 134 MB Y; 97 chunks ≈ 28 ms of pure copies on rmat s18)."""
     unit = getattr(ell, "unit_vals", False)
+    rids, parts = [], []
     for b in ell.buckets:
         for row_ids, cols, vals in _bucket_chunks(b, ell):
-            Yb = ell_bucket_spmm(cols, vals, Xseg, n_block=n_block, unit=unit)
+            parts.append(
+                ell_bucket_spmm(cols, vals, Xseg, n_block=n_block, unit=unit)
+            )
             # padding chunk rows add zeros (zero vals / sentinel columns)
-            Y = Y.at[row_ids].add(Yb)
-    return Y
+            rids.append(row_ids)
+    if not parts:
+        return Y
+    return Y.at[jnp.concatenate(rids)].add(jnp.concatenate(parts, axis=0))
 
 
 @jax.jit

@@ -148,3 +148,29 @@ def test_precision_modes():
     scale = np.abs(ref).max()
     assert np.abs(hi - ref).max() / scale < 2e-6
     assert np.abs(lo - ref).max() / scale < 2e-2
+
+
+@pytest.mark.parametrize("tile_m", [32, 128])
+def test_bsr_tall_tiles_match_oracle(tile_m):
+    """Auto tile-height path: taller tiles must be numerically identical."""
+    import fastsparse as fs
+    from fastsparse.bench.matrices import banded
+    from fastsparse.ops.bsr_ops import bsr_spmm, bsr_spmv
+
+    cfg = fs.Config(tile_m=tile_m)
+    m = banded(1500, 96, seed=9, density=0.4)
+    X = np.random.default_rng(10).standard_normal((1500, 16)).astype(np.float32)
+
+    A = fs.build_bsr(fs.coo_from_scipy(m.tocoo()), config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(bsr_spmm(A, X)), m @ X, rtol=2e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(bsr_spmv(A, X[:, 0])), m @ X[:, 0], rtol=2e-5, atol=1e-4
+    )
+
+    mb = m.copy(); mb.data[:] = 1.0
+    Ab = fs.build_bsr(fs.binary_coo_from_scipy(mb.tocoo()), config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(bsr_spmm(Ab, X)), mb @ X, rtol=2e-5, atol=1e-4
+    )

@@ -6,6 +6,8 @@ import pytest
 
 import conftest as C
 
+import fastsparse as fs
+
 from fastsparse import operator
 
 
@@ -94,3 +96,43 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (1536, 128)
     ge.dryrun_multichip(8)
+
+
+def test_balanced_seg_cols_respects_caps():
+    from fastsparse.linops import (
+        BSR_SEG_COLS_BINARY3,
+        BSR_SEG_COLS_F32,
+        SEG_COLS,
+        _balanced_seg_cols,
+    )
+
+    # the 2026-08-17 regression: widths above the binary3 cap silently
+    # drop the BSR kernel to the streamed strategy — never exceed caps
+    for ncol in (16385, 20000, 50000, 65536, 262144, 1_000_000):
+        for cap in (BSR_SEG_COLS_BINARY3, BSR_SEG_COLS_F32, SEG_COLS):
+            w = _balanced_seg_cols(ncol, cap)
+            assert w <= cap
+            assert w % 128 == 0
+            nseg = -(-ncol // w)
+            assert (nseg - 1) * w < ncol  # no empty trailing segment
+    assert _balanced_seg_cols(50000, BSR_SEG_COLS_BINARY3) == 12544
+
+
+def test_binary_bsr_segments_stay_resident():
+    """Binary operator on a >16384-col matrix must segment under the
+    binary3 cap (3 bf16 X planes = 6 B/element at the 12 MB budget)."""
+    import scipy.sparse as sp
+
+    from fastsparse.formats.segmented import ColSegmented
+    from fastsparse.linops import BSR_SEG_COLS_BINARY3
+
+    rng = np.random.default_rng(0)
+    n = 18000
+    r = rng.integers(0, 512, 40000)
+    c = np.clip(r * 35 + rng.integers(0, 2000, 40000), 0, n - 1)
+    m = sp.coo_matrix((np.ones(r.size, np.float32), (r, c)), shape=(512, n))
+    m.sum_duplicates(); m.data[:] = 1.0
+    op = fs.operator(m, format="bsr", transpose=False)
+    assert isinstance(op.fwd, ColSegmented)
+    for seg in op.fwd.segments:
+        assert seg.shape[1] <= BSR_SEG_COLS_BINARY3

@@ -80,6 +80,7 @@ def _block_mats(tiles_block, binary: bool, tile_k: int, dtype):
 
 _SG = 8  # strips per grid step — amortizes grid overhead, >= 8 sublanes
 _TB = 4  # tiles per grid step per strip — batches tile DMAs
+_SG_ROWS_CAP = 256  # max SG·TM (bounds the batched mask-expansion VMEM)
 
 
 def _spmm_resident_body(binary, TK, TM, SG, TB, T, prec, slab_ref, tiles_ref, x_ref, o_ref):
@@ -194,7 +195,7 @@ def bucket_spmm(
         # Cap SG·TM (output rows per grid step): the batched bitmask
         # expansion materializes (SG, TB, TM, TK) f32 in VMEM — at
         # tile_m=128 the full SG=8 group is 16 MB and OOMs scoped vmem.
-        sg_max = min(_SG, max(1, 256 // tile_m))
+        sg_max = min(_SG, max(1, _SG_ROWS_CAP // tile_m))
         SG = sg_max if ns % sg_max == 0 else 1
         TB = _TB if T % _TB == 0 else (2 if T % 2 == 0 else 1)
         if binary3:

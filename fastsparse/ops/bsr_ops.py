@@ -88,8 +88,9 @@ def bsr_spmm(
 
     # binary fp32-parity fast path ships X as 3 stacked bf16 planes
     # (x = x0+x1+x2 to ~24 bits; the 0/1 mask is exact in bf16): 3 one-pass
-    # MXU products per tile instead of HIGHEST's 6.
-    binary3 = A.binary and precision == "highest"
+    # MXU products per tile instead of HIGHEST's 6. Tall tiles (tm >= 64)
+    # skip it — must mirror bucket_spmm's rule exactly.
+    binary3 = A.binary and precision == "highest" and TM < 64
     itemsize = 6 if binary3 else X.dtype.itemsize
     strategy = pick_strategy(
         nsl, TK, n_block, itemsize, A.padded_tiles, Npad // n_block

@@ -182,8 +182,17 @@ def bucket_spmm(
         else jax.lax.Precision.DEFAULT
     )
     ns, T = slab_ids.shape
-    # binary fp32-parity path: X arrives as 3 stacked bf16 planes
-    binary3 = binary and precision == "highest" and strategy == "resident"
+    # binary fp32-parity path: X arrives as 3 stacked bf16 planes.
+    # Tall tiles (tm >= 64) skip it: the expanded-mask HIGHEST body
+    # measures ~271 ns/tile at tm=128 vs the 3-plane body's ~1816 ns
+    # (the per-tile bf16 cast + 3 dynamic X-plane slices dominate once
+    # the MXU passes are amortized over 128 rows).
+    binary3 = (
+        binary
+        and precision == "highest"
+        and strategy == "resident"
+        and tile_m < 64
+    )
     K_all, Npad = x.shape
     if binary3:
         K_all //= 3

@@ -88,7 +88,7 @@ def main():
     from fastsparse.bench.matrices import banded
 
     mh = (banded(8192, 96, seed=7) +
-          powerlaw(8192, 8192, 60_000, seed=8, dtype=np.float32)).tocsr()
+          powerlaw(8192, 8192, 60_000, seed=8)).tocsr()
     H = fs.build_hybrid(fs.coo_from_scipy(mh, dtype=np.float32), threshold=32)
     Xh = jnp.asarray(np.random.default_rng(9).standard_normal(
         (8192, 128)), jnp.float32)

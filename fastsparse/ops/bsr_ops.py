@@ -65,8 +65,42 @@ def pallas_supported(dtype) -> bool:
     return jnp.dtype(dtype) in (jnp.dtype(d) for d in _PALLAS_DTYPES)
 
 
+def binary_plane_path(tile_m: int) -> str:
+    """Kernel body for the binary HIGHEST resident path (see
+    `pallas.bsr_spmm.bucket_spmm`). ``planes_n`` (3 bf16 X planes along
+    lanes, one wide dot per tile) won the 2026-08-17 A/B at every tile
+    height; ``planes_k``/``expand`` remain selectable for probes."""
+    return "planes_n"
+
+
+def _split_bf16_planes(Xp):
+    """f32 (K, N) -> (hi, h1, x2) bf16 planes with hi+h1+x2 ≈ x (~24 bits).
+
+    Split via mantissa bit-masking, NOT bf16 cast round-trips: the
+    terminal forces --xla_allow_excess_precision, which elides
+    bf16->f32->subtract chains and collapses the planes to one.
+    """
+    u = jax.lax.bitcast_convert_type(Xp, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    r1 = Xp - hi  # exact: hi carries the top 16 bits
+    u1 = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    h1 = jax.lax.bitcast_convert_type(u1 & jnp.uint32(0xFFFF0000), jnp.float32)
+    x2 = r1 - h1  # exact residual (rounded once by the bf16 cast below)
+    # hi/h1 casts are exact (already bf16-representable)
+    return (
+        hi.astype(jnp.bfloat16),
+        h1.astype(jnp.bfloat16),
+        x2.astype(jnp.bfloat16),
+    )
+
+
 def bsr_spmm(
-    A: BsrMatrix, X, *, n_block: int | None = None, precision: str = "highest"
+    A: BsrMatrix,
+    X,
+    *,
+    n_block: int | None = None,
+    precision: str = "highest",
+    binary_path: str | None = None,
 ) -> jax.Array:
     """``Y = A @ X`` via the Pallas tile kernels. X: dtype[ncol, N]."""
     X = jnp.asarray(X)
@@ -86,37 +120,55 @@ def bsr_spmm(
     Npad = _round_up(N, n_block)
     Xp = jnp.zeros((nsl * TK, Npad), X.dtype).at[:ncol, :N].set(X)
 
-    # binary fp32-parity fast path ships X as 3 stacked bf16 planes
-    # (x = x0+x1+x2 to ~24 bits; the 0/1 mask is exact in bf16): 3 one-pass
-    # MXU products per tile instead of HIGHEST's 6. Tall tiles (tm >= 64)
-    # skip it — must mirror bucket_spmm's rule exactly.
-    binary3 = A.binary and precision == "highest" and TM < 64
-    itemsize = 6 if binary3 else X.dtype.itemsize
+    # bf16-exact-A fp32-parity fast path ships X as 3 stacked bf16 planes
+    # (x = x0+x1+x2 to ~24 bits): 3 bf16 MXU passes per tile instead of
+    # HIGHEST's 6. Applies to bitmask tiles (the 0/1 mask is exact in
+    # bf16) and to bf16-valued tiles (already bf16-exact by construction).
+    if binary_path is None:
+        binary_path = binary_plane_path(TM)
+    exact_bf16 = A.binary or A.dtype == jnp.bfloat16
+    if not A.binary and binary_path == "planes_k":
+        binary_path = "planes_n"  # valued tiles only have the wide body
+    planes = (
+        exact_bf16
+        and precision == "highest"
+        and binary_path != "expand"
+        and Xp.dtype == jnp.float32
+    )
+    itemsize = 6 if planes else X.dtype.itemsize
     strategy = pick_strategy(
         nsl, TK, n_block, itemsize, A.padded_tiles, Npad // n_block
     )
-    if binary3 and strategy == "resident":
-        # Split via mantissa bit-masking, NOT bf16 cast round-trips: the
-        # terminal forces --xla_allow_excess_precision, which elides
-        # bf16->f32->subtract chains and collapses the planes to one.
-        u = jax.lax.bitcast_convert_type(Xp, jnp.uint32)
-        hi = jax.lax.bitcast_convert_type(
-            u & jnp.uint32(0xFFFF0000), jnp.float32
+    if planes and strategy == "streamed":
+        # The plane panel (6 B/elem) busting the VMEM budget while the f32
+        # panel (4 B) fits means expand+resident beats planes+streamed by
+        # far (measured 153 vs 686 ms, ecfp 50k x 20k direct-BSR probe,
+        # 2026-08-17) — dropping to streamed silently is the known 4x trap.
+        s_f32 = pick_strategy(
+            nsl, TK, n_block, X.dtype.itemsize, A.padded_tiles,
+            Npad // n_block,
         )
-        r1 = Xp - hi  # exact: hi carries the top 16 bits
-        u1 = jax.lax.bitcast_convert_type(r1, jnp.uint32)
-        h1 = jax.lax.bitcast_convert_type(
-            u1 & jnp.uint32(0xFFFF0000), jnp.float32
-        )
-        x2 = r1 - h1  # exact residual (rounded once by the bf16 cast below)
-        Xp = jnp.concatenate(
-            [
-                hi.astype(jnp.bfloat16),  # exact: already bf16-representable
-                h1.astype(jnp.bfloat16),  # exact
-                x2.astype(jnp.bfloat16),
-            ],
-            axis=0,
-        )
+        if s_f32 == "resident":
+            planes, strategy = False, "resident"
+    if not (planes and strategy == "resident"):
+        binary_path = "expand"  # kernel must see the layout X actually has
+    else:
+        hi, h1, x2 = _split_bf16_planes(Xp)
+        if binary_path == "planes_k":
+            Xp = jnp.concatenate([hi, h1, x2], axis=0)
+        else:  # planes_n: per-panel [x0_j | x1_j | x2_j] along lanes
+            K_all = Xp.shape[0]
+            nj = Npad // n_block
+            Xp = (
+                jnp.stack(
+                    [
+                        p.reshape(K_all, nj, n_block)
+                        for p in (hi, h1, x2)
+                    ],
+                    axis=2,
+                )
+                .reshape(K_all, nj * 3 * n_block)
+            )
 
     # Dump strip nsp catches padding bucket slots (strip_ids == nsp).
     # One batched scatter: per-chunk .at[].set makes XLA rewrite the full
@@ -134,6 +186,7 @@ def bsr_spmm(
                 n_block=n_block,
                 strategy=strategy,
                 precision=precision,
+                binary_path=binary_path,
             )
             sids.append(strip_ids)
             parts.append(Yb.reshape(slab_ids.shape[0], TM, Npad))

@@ -71,14 +71,15 @@ def _bucket_chunks(b, ell):
         yield rid, cc, vv
 
 
-def _seg_spmm(ell: EllMatrix, Xseg, Y, n_block: int):
-    """Accumulate one segment's product into Y f32[nrow, Npad].
+def _seg_parts(ell: EllMatrix, Xseg, n_block: int, rids, parts):
+    """Append one segment's per-bucket products to (rids, parts).
 
-    All bucket/chunk outputs scatter in ONE ``.at[].add`` — per-chunk
-    scatters made XLA rewrite the full Y buffer once per chunk (~285 µs
-    each on a 134 MB Y; 97 chunks ≈ 28 ms of pure copies on rmat s18)."""
+    The caller scatters ALL segments in ONE ``.at[].add`` — per-chunk (and
+    then per-segment) scatters made XLA rewrite the full Y buffer once per
+    scatter (~285 µs each on a 134 MB Y; 97 chunks ≈ 28 ms of pure copies
+    on rmat s18, 11 segments ≈ 3 ms more). Rows appearing in several
+    segments are duplicate scatter indices — scatter-add sums them."""
     unit = getattr(ell, "unit_vals", False)
-    rids, parts = [], []
     for b in ell.buckets:
         for row_ids, cols, vals in _bucket_chunks(b, ell):
             parts.append(
@@ -86,9 +87,6 @@ def _seg_spmm(ell: EllMatrix, Xseg, Y, n_block: int):
             )
             # padding chunk rows add zeros (zero vals / sentinel columns)
             rids.append(row_ids)
-    if not parts:
-        return Y
-    return Y.at[jnp.concatenate(rids)].add(jnp.concatenate(parts, axis=0))
 
 
 @jax.jit
@@ -179,7 +177,7 @@ def ell_spmm(A, X, *, n_block: int | None = None) -> jax.Array:
         if isinstance(A, SegmentedEll)
         else [(0, A)]
     )
-    Y = jnp.zeros((nrow, Npad), jnp.float32)
+    rids, parts = [], []
     for off, seg in segs:
         seg_ncol = seg.shape[1]
         # +1: unit-mode sentinel column (ncol) must hit a zero row of X
@@ -189,5 +187,8 @@ def ell_spmm(A, X, *, n_block: int | None = None) -> jax.Array:
             .at[:seg_ncol, :N]
             .set(X[off : off + seg_ncol])
         )
-        Y = _seg_spmm(seg, Xseg, Y, n_block)
+        _seg_parts(seg, Xseg, n_block, rids, parts)
+    Y = jnp.zeros((nrow, Npad), jnp.float32)
+    if parts:
+        Y = Y.at[jnp.concatenate(rids)].add(jnp.concatenate(parts, axis=0))
     return Y[:, :N]

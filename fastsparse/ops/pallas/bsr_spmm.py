@@ -73,6 +73,14 @@ def _block_mats(tiles_block, binary: bool, tile_k: int, dtype):
     return tiles_block
 
 
+def _match_dot_dtypes(a, xs):
+    """Mosaic has no mixed-dtype matmul: promote both operands to f32
+    (bf16 -> f32 is exact) when tile and X dtypes differ."""
+    if a.dtype != xs.dtype:
+        return a.astype(jnp.float32), xs.astype(jnp.float32)
+    return a, xs
+
+
 # ---------------------------------------------------------------------------
 # SpMM kernels: Y[strip] = sum_t tile(i,t) @ X[slab(i,t)]
 # ---------------------------------------------------------------------------
@@ -102,8 +110,9 @@ def _spmm_resident_body(binary, TK, TM, SG, TB, T, prec, slab_ref, tiles_ref, x_
             xs = x_ref[pl.ds(slab * TK, TK), :]
             # HIGHEST: f32 operands must not fall to one-pass bf16 on the
             # MXU (fp32 parity is rtol 1e-6 — BASELINE.json:5).
+            a, xs = _match_dot_dtypes(mats[g, u], xs)
             d = jnp.dot(
-                mats[g, u], xs, preferred_element_type=o_ref.dtype,
+                a, xs, preferred_element_type=o_ref.dtype,
                 precision=prec,
             )
             acc = d if acc is None else acc + d
@@ -140,6 +149,39 @@ def _spmm_resident_body_binary3(TK, TM, SG, TB, T, K_all, slab_ref, tiles_ref, x
         o_ref[pl.ds(g * TM, TM), :] += acc
 
 
+def _spmm_resident_body_wide(TK, TM, SG, TB, T, NB, binary, slab_ref, tiles_ref, x_ref, o_ref):
+    """bf16-exact-A fp32-parity path with the 3 bf16 X planes stacked along
+    the *lane* axis: ``x_ref`` is (K_all, 3·NB) bf16, panel-j layout
+    ``[x0_j | x1_j | x2_j]``. Each tile needs ONE dynamic slice and ONE
+    ``(TM,TK) @ (TK,3·NB)`` dot (3 internal MXU column passes), the plane
+    fold is deferred to one static-slice add per strip group — vs the
+    planes_k body's 3 slices + 3 dots per tile.
+
+    ``binary=False`` means the tiles arrive as bf16 *values* (exact for
+    0/1 matrices): no mask expansion, no cast — the tile feeds the MXU
+    straight from its DMA."""
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    mats = _block_mats(tiles_ref[:], binary, TK, jnp.float32) if binary else tiles_ref[:]
+    for g in range(SG):
+        acc3 = None
+        for u in range(TB):
+            slab = slab_ref[(i * SG + g) * T + t * TB + u]
+            a = mats[g, u]
+            if binary:
+                a = a.astype(jnp.bfloat16)
+            xs = x_ref[pl.ds(slab * TK, TK), :]
+            d3 = jnp.dot(a, xs, preferred_element_type=o_ref.dtype)
+            acc3 = d3 if acc3 is None else acc3 + d3
+        d = acc3[:, :NB] + acc3[:, NB : 2 * NB] + acc3[:, 2 * NB :]
+        o_ref[pl.ds(g * TM, TM), :] += d
+
+
 def _spmm_streamed_body(binary, TK, prec, slab_ref, tiles_ref, x_ref, o_ref):
     t = pl.program_id(2)
 
@@ -147,16 +189,38 @@ def _spmm_streamed_body(binary, TK, prec, slab_ref, tiles_ref, x_ref, o_ref):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    a = _block_mats(tiles_ref[0, 0], binary, TK, x_ref.dtype)
-    o_ref[:] += jnp.dot(
-        a, x_ref[:], preferred_element_type=o_ref.dtype, precision=prec
+    a, xs = _match_dot_dtypes(
+        _block_mats(tiles_ref[0, 0], binary, TK, x_ref.dtype), x_ref[:]
     )
+    o_ref[:] += jnp.dot(
+        a, xs, preferred_element_type=o_ref.dtype, precision=prec
+    )
+
+
+def _pick_batch(ns: int, T: int, tile_m: int, tile_k: int, binary: bool):
+    """(SG, TB) per grid step: largest of the chain (8, 4, 2, 1) dividing
+    T whose VMEM residency fits. Bytes model: the tiles block is
+    double-buffered by the pipeline; binary kernels additionally
+    materialize the (SG, TB, TM, TK) f32 expanded mask in scoped VMEM
+    (measured: 4 MB expansion fits alongside a 12 MB resident X;
+    8 MB — SG·TM = 512 at tm=128 — OOMs)."""
+    sg_max = min(_SG, max(1, _SG_ROWS_CAP // tile_m))
+    SG = sg_max if ns % sg_max == 0 else 1
+    for TB in (8, 4, 2, 1):
+        if T % TB:
+            continue
+        blk = SG * TB * tile_m * (tile_k // 8 if binary else tile_k * 4)
+        exp = SG * TB * tile_m * tile_k * 4 if binary else 0
+        if 2 * blk + exp <= 4 * 1024 * 1024:
+            return SG, TB
+    return SG, 1
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tile_m", "tile_k", "binary", "n_block", "strategy", "precision"
+        "tile_m", "tile_k", "binary", "n_block", "strategy", "precision",
+        "binary_path",
     ),
 )
 def bucket_spmm(
@@ -170,11 +234,19 @@ def bucket_spmm(
     n_block: int,
     strategy: str,
     precision: str = "highest",
+    binary_path: str = "planes_n",
 ) -> jax.Array:
     """One bucket's ``Y_b = A_b @ X``: returns dtype[ns*TM, Npad].
 
     ``precision='highest'`` keeps fp32 parity (rtol 1e-6, 6 bf16 MXU
     passes); ``'default'`` is one bf16 pass — ~2.7x faster, rel ~1e-3.
+
+    ``binary_path`` selects the binary-HIGHEST-resident kernel body (the
+    host wrapper must ship the matching X layout — see
+    `bsr_ops.binary_plane_path`): ``'planes_k'`` = 3 bf16 planes stacked
+    along K (3 slices + 3 dots per tile), ``'planes_n'`` = planes stacked
+    along lanes (1 slice + 1 wide dot), ``'expand'`` = f32 mask at
+    HIGHEST (6 MXU passes, plain f32 X).
     """
     prec = (
         jax.lax.Precision.HIGHEST
@@ -182,42 +254,45 @@ def bucket_spmm(
         else jax.lax.Precision.DEFAULT
     )
     ns, T = slab_ids.shape
-    # binary fp32-parity path: X arrives as 3 stacked bf16 planes.
-    # Tall tiles (tm >= 64) skip it: the expanded-mask HIGHEST body
-    # measures ~271 ns/tile at tm=128 vs the 3-plane body's ~1816 ns
-    # (the per-tile bf16 cast + 3 dynamic X-plane slices dominate once
-    # the MXU passes are amortized over 128 rows).
-    binary3 = (
-        binary
-        and precision == "highest"
-        and strategy == "resident"
-        and tile_m < 64
-    )
+    bpath = "none"
+    if precision == "highest" and strategy == "resident":
+        if binary:
+            bpath = binary_path
+        elif tiles.dtype == jnp.bfloat16 and binary_path == "planes_n":
+            # bf16-exact valued tiles (e.g. 0/1 stored as bf16 values):
+            # the wide-plane body at fp32 parity, no expansion at all.
+            bpath = "planes_n"
     K_all, Npad = x.shape
-    if binary3:
+    if bpath == "planes_k":
         K_all //= 3
+    elif bpath == "planes_n":
+        Npad //= 3
     NB = n_block
     nj = Npad // NB
-    out_dtype = jnp.float32 if binary3 else x.dtype
+    out_dtype = jnp.float32 if bpath in ("planes_k", "planes_n") else x.dtype
 
     if strategy == "resident":
         # Cap SG·TM (output rows per grid step): the batched bitmask
         # expansion materializes (SG, TB, TM, TK) f32 in VMEM — at
         # tile_m=128 the full SG=8 group is 16 MB and OOMs scoped vmem.
-        sg_max = min(_SG, max(1, _SG_ROWS_CAP // tile_m))
-        SG = sg_max if ns % sg_max == 0 else 1
-        TB = _TB if T % _TB == 0 else (2 if T % 2 == 0 else 1)
-        if binary3:
+        SG, TB = _pick_batch(ns, T, tile_m, tile_k, binary)
+        if bpath == "planes_k":
             body = functools.partial(
                 _spmm_resident_body_binary3,
                 tile_k, tile_m, SG, TB, T, K_all,
+            )
+        elif bpath == "planes_n":
+            body = functools.partial(
+                _spmm_resident_body_wide,
+                tile_k, tile_m, SG, TB, T, NB, binary,
             )
         else:
             body = functools.partial(
                 _spmm_resident_body, binary, tile_k, tile_m, SG, TB, T, prec
             )
+        xnb = 3 * NB if bpath == "planes_n" else NB
         x_spec = pl.BlockSpec(
-            x.shape[:1] + (NB,),
+            x.shape[:1] + (xnb,),
             lambda j, i, t, s: (0, j),
             memory_space=pltpu.VMEM,
         )
@@ -256,7 +331,7 @@ def bucket_spmm(
     flops = 2 * ns * T * tile_m * tile_k * Npad
     abytes = tiles.size * tiles.dtype.itemsize
     xbytes = (
-        K_all * Npad * x.dtype.itemsize
+        x.size * x.dtype.itemsize
         if strategy == "resident"
         else ns * T * tile_k * Npad * x.dtype.itemsize
     )

@@ -174,3 +174,41 @@ def test_bsr_tall_tiles_match_oracle(tile_m):
     np.testing.assert_allclose(
         np.asarray(bsr_spmm(Ab, X)), mb @ X, rtol=2e-5, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("tile_m", [8, 32, 128])
+@pytest.mark.parametrize("path", ["expand", "planes_k", "planes_n"])
+def test_binary_path_variants_match(path, tile_m):
+    """All binary HIGHEST kernel bodies agree to fp32 parity (the default
+    is chosen by measurement — `bsr_ops.binary_plane_path`)."""
+    import fastsparse as fs
+
+    m = C.random_csr(700, 640, 0.05, seed=77, dtype=np.float32)
+    m.data[:] = 1.0
+    A = build_bsr(
+        binary_coo_from_scipy(m.tocoo()), config=fs.Config(tile_m=tile_m)
+    )
+    X = np.random.default_rng(5).standard_normal((640, 96)).astype(np.float32)
+    got = np.asarray(bsr_spmm(A, X, binary_path=path))
+    ref = m @ X
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+
+
+@pytest.mark.parametrize("tile_m", [8, 128])
+def test_bf16_valued_tiles_fp32_parity(tile_m):
+    """0/1 matrices stored as bf16 *values* (exact in bf16) hit the
+    wide-plane body with no mask expansion — full fp32 parity."""
+    import fastsparse as fs
+
+    m = C.random_csr(700, 640, 0.05, seed=78, dtype=np.float32)
+    m.data[:] = 1.0
+    A = build_bsr(
+        binary_coo_from_scipy(m.tocoo()),
+        config=fs.Config(tile_m=tile_m),
+        binary=False,
+        dtype="bfloat16",
+    )
+    X = np.random.default_rng(6).standard_normal((640, 96)).astype(np.float32)
+    got = np.asarray(bsr_spmm(A, X))
+    ref = m @ X
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6

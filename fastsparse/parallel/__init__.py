@@ -6,6 +6,8 @@ from .ops import (
     unpad_result,
     pspmv,
     pspmm,
+    pspmv_t,
+    pspmm_t,
     pnormal_mv,
     pnormal_mm,
 )
@@ -19,6 +21,8 @@ __all__ = [
     "unpad_result",
     "pspmv",
     "pspmm",
+    "pspmv_t",
+    "pspmm_t",
     "pnormal_mv",
     "pnormal_mm",
 ]

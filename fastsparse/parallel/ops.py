@@ -46,6 +46,8 @@ __all__ = [
     "unpad_result",
     "pspmv",
     "pspmm",
+    "pspmv_t",
+    "pspmm_t",
     "pnormal_mv",
     "pnormal_mm",
 ]
@@ -79,7 +81,14 @@ def shard_partitioned(Ap: RowPartitioned, mesh: Mesh, axis: str = "rows"):
 
     sharded = jax.tree.map(
         put,
-        (Ap.local, Ap.blocks, Ap.local_bsr, Ap.local_bsr_t, Ap.blocks_bsr),
+        (
+            Ap.local,
+            Ap.blocks,
+            Ap.local_bsr,
+            Ap.local_bsr_t,
+            Ap.blocks_bsr,
+            Ap.blocks_bsr_t,
+        ),
     )
     return dataclasses.replace(
         Ap,
@@ -88,6 +97,7 @@ def shard_partitioned(Ap: RowPartitioned, mesh: Mesh, axis: str = "rows"):
         local_bsr=sharded[2],
         local_bsr_t=sharded[3],
         blocks_bsr=sharded[4],
+        blocks_bsr_t=sharded[5],
         row_perm=rep(Ap.row_perm),
         col_perm=rep(Ap.col_perm),
         row_inv=rep(Ap.row_inv),
@@ -378,6 +388,210 @@ def pspmm(
     raise ValueError(f"unknown schedule {schedule!r}")
 
 
+def _rs_ring(axis: str, nsh: int, contrib, out_shape, dtype):
+    """P-step reduce-scatter ring: at step ``s`` each shard adds its
+    partial for destination ``(me + s) % P`` to the traveling buffer,
+    then forwards it one hop (i → i-1). After P steps the buffer on
+    shard ``d`` holds ``Σ_p contrib_p(d)`` — the transpose-product analog
+    of the forward ring, with the same compute/`ppermute` overlap
+    (SURVEY.md §5.7 applied to the Aᵀ pass)."""
+    me = jax.lax.axis_index(axis)
+
+    def step(buf, s):
+        q = (me + s) % nsh
+        buf = buf + contrib(q)
+        buf = jax.lax.ppermute(buf, axis, _ring_perm(axis))
+        return buf, None
+
+    b0 = _pvary(jnp.zeros(out_shape, dtype), axis)
+    out, _ = jax.lax.scan(step, b0, jnp.arange(nsh, dtype=jnp.int32))
+    return out
+
+
+def pspmm_t(
+    Ap: RowPartitioned,
+    Y,
+    mesh: Mesh,
+    *,
+    schedule: str = "allgather",
+    axis: str = "rows",
+    engine: str = "coo",
+):
+    """Distributed ``Z = Aᵀ @ Y`` (reference ``At_mul_B``, SURVEY.md §2 R5).
+
+    ``Y``: f[nrow, N] indexed by A's rows; returns Z sharded over columns
+    (padded extent P·col_block; `unpad_result(..., 'cols')` trims). Row
+    ownership means the transpose product gathers nothing — each shard
+    contributes ``A_pᵀ·Y_p``:
+
+    * ``allgather`` schedule — local dual-tiling product + one
+      `psum_scatter` (one collective total);
+    * ``ring`` schedule — reduce-scatter ring over per-block transpose
+      tilings: partial Z blocks travel the ring while each shard computes
+      the next block's contribution.
+    """
+    Yp = pad_operand(Y, Ap, "rows")
+    nsh = Ap.n_shards
+    if schedule == "allgather":
+        if engine == "bsr":
+            if Ap.local_bsr_t is None:
+                raise ValueError(
+                    "partition built without build_bsr_shards=True"
+                )
+            from ..ops.bsr_ops import bsr_spmm
+
+            def body(bwd, Ys):
+                part = bsr_spmm(_local(bwd), Ys)
+                return jax.lax.psum_scatter(
+                    part, axis, scatter_dimension=0, tiled=True
+                )
+
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(_specs_of(Ap.local_bsr_t, axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )(Ap.local_bsr_t, Yp)
+
+        def body(local, Ys):
+            part = _spmm_t_local(
+                _local(local), Ys, Ap.n_shards * Ap.col_block
+            )
+            return jax.lax.psum_scatter(
+                part, axis, scatter_dimension=0, tiled=True
+            )
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(_specs_of(Ap.local, axis), P(axis)),
+            out_specs=P(axis),
+        )(Ap.local, Yp)
+
+    if schedule == "ring":
+        if engine == "bsr":
+            if Ap.blocks_bsr_t is None:
+                raise ValueError(
+                    "partition built without build_bsr_shards+build_blocks"
+                )
+            from ..ops.bsr_ops import bsr_spmm
+
+            def body(blocks_t, Ys):
+                return _rs_ring(
+                    axis,
+                    nsh,
+                    lambda q: bsr_spmm(_take_block(blocks_t, q), Ys),
+                    (Ap.col_block, Ys.shape[1]),
+                    Ys.dtype,
+                )
+
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(_specs_of(Ap.blocks_bsr_t, axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )(Ap.blocks_bsr_t, Yp)
+
+        if Ap.blocks is None:
+            raise ValueError("partition built with build_blocks=False")
+
+        def body(blocks, Ys):
+            return _rs_ring(
+                axis,
+                nsh,
+                lambda q: _spmm_t_local(
+                    _take_block(blocks, q), Ys, Ap.col_block
+                ),
+                (Ap.col_block, Ys.shape[1]),
+                Ys.dtype,
+            )
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(_specs_of(Ap.blocks, axis), P(axis)),
+            out_specs=P(axis),
+        )(Ap.blocks, Yp)
+
+    raise ValueError(f"unknown schedule {schedule!r}")
+
+
+def pspmv_t(
+    Ap: RowPartitioned,
+    y,
+    mesh: Mesh,
+    *,
+    schedule: str = "allgather",
+    axis: str = "rows",
+    engine: str = "coo",
+):
+    """Distributed ``z = Aᵀ @ y`` — vector variant of `pspmm_t`."""
+    yp = pad_operand(y, Ap, "rows")
+    nsh = Ap.n_shards
+    if schedule == "allgather":
+        if engine == "bsr":
+            if Ap.local_bsr_t is None:
+                raise ValueError(
+                    "partition built without build_bsr_shards=True"
+                )
+            from ..ops.bsr_ops import bsr_spmv
+
+            def body(bwd, ys):
+                part = bsr_spmv(_local(bwd), ys)
+                return jax.lax.psum_scatter(
+                    part, axis, scatter_dimension=0, tiled=True
+                )
+
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(_specs_of(Ap.local_bsr_t, axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )(Ap.local_bsr_t, yp)
+
+        def body(local, ys):
+            part = _spmv_t_local(
+                _local(local), ys, Ap.n_shards * Ap.col_block
+            )
+            return jax.lax.psum_scatter(
+                part, axis, scatter_dimension=0, tiled=True
+            )
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(_specs_of(Ap.local, axis), P(axis)),
+            out_specs=P(axis),
+        )(Ap.local, yp)
+
+    if schedule == "ring":
+        if Ap.blocks is None:
+            raise ValueError("partition built with build_blocks=False")
+
+        def body(blocks, ys):
+            return _rs_ring(
+                axis,
+                nsh,
+                lambda q: _spmv_t_local(
+                    _take_block(blocks, q), ys, Ap.col_block
+                ),
+                (Ap.col_block,),
+                ys.dtype,
+            )
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(_specs_of(Ap.blocks, axis), P(axis)),
+            out_specs=P(axis),
+        )(Ap.blocks, yp)
+
+    raise ValueError(f"unknown schedule {schedule!r}")
+
+
 def pnormal_mv(Ap: RowPartitioned, x, mesh: Mesh, reg: float = 0.0, *, axis: str = "rows"):
     """Distributed ``(AᵀA + reg·I) x``: all-gather x → local A·x →
     local Aᵀ·(tmp) partials → reduce-scatter (psum_scatter)."""
@@ -404,6 +618,7 @@ def pnormal_mm(
     mesh: Mesh,
     reg: float = 0.0,
     *,
+    schedule: str = "allgather",
     axis: str = "rows",
     engine: str = "coo",
 ):
@@ -413,8 +628,98 @@ def pnormal_mm(
     forward tiling and its precompiled dual (transpose) tiling — no
     scatter anywhere (SURVEY.md §7.3 item 5), one all-gather + one
     reduce-scatter of collectives.
+
+    ``schedule='ring'``: both passes overlap compute with communication —
+    the forward pass rings X blocks (`ppermute` in flight during the
+    column-block products), the Aᵀ pass rings partial Z blocks
+    (reduce-scatter ring over per-block transpose tilings). No bulk
+    all-gather/psum anywhere (ROADMAP item 8).
     """
     Xp = pad_operand(X, Ap, "cols")
+    if schedule == "ring":
+        nsh = Ap.n_shards
+        if engine == "bsr":
+            if Ap.blocks_bsr is None or Ap.blocks_bsr_t is None:
+                raise ValueError(
+                    "partition built without build_bsr_shards+build_blocks"
+                )
+            from ..ops.bsr_ops import bsr_spmm
+
+            def body(blocks, blocks_t, Xs):
+                me = jax.lax.axis_index(axis)
+
+                def fstep(carry, s):
+                    buf, acc = carry
+                    q = (me + s) % nsh
+                    acc = acc + bsr_spmm(_take_block(blocks, q), buf)
+                    buf = jax.lax.ppermute(buf, axis, _ring_perm(axis))
+                    return (buf, acc), None
+
+                t0 = _pvary(
+                    jnp.zeros((Ap.row_block, Xs.shape[1]), Xs.dtype), axis
+                )
+                (_, tmp), _ = jax.lax.scan(
+                    fstep, (Xs, t0), jnp.arange(nsh, dtype=jnp.int32)
+                )
+                out = _rs_ring(
+                    axis,
+                    nsh,
+                    lambda q: bsr_spmm(_take_block(blocks_t, q), tmp),
+                    (Ap.col_block, Xs.shape[1]),
+                    Xs.dtype,
+                )
+                return out + reg * Xs
+
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(
+                    _specs_of(Ap.blocks_bsr, axis),
+                    _specs_of(Ap.blocks_bsr_t, axis),
+                    P(axis),
+                ),
+                out_specs=P(axis),
+                check_vma=False,
+            )(Ap.blocks_bsr, Ap.blocks_bsr_t, Xp)
+
+        if Ap.blocks is None:
+            raise ValueError("partition built with build_blocks=False")
+
+        def body(blocks, Xs):
+            me = jax.lax.axis_index(axis)
+
+            def fstep(carry, s):
+                buf, acc = carry
+                q = (me + s) % nsh
+                acc = acc + _spmm_local(
+                    _take_block(blocks, q), buf, Ap.row_block
+                )
+                buf = jax.lax.ppermute(buf, axis, _ring_perm(axis))
+                return (buf, acc), None
+
+            t0 = _pvary(
+                jnp.zeros((Ap.row_block, Xs.shape[1]), Xs.dtype), axis
+            )
+            (_, tmp), _ = jax.lax.scan(
+                fstep, (Xs, t0), jnp.arange(nsh, dtype=jnp.int32)
+            )
+            out = _rs_ring(
+                axis,
+                nsh,
+                lambda q: _spmm_t_local(
+                    _take_block(blocks, q), tmp, Ap.col_block
+                ),
+                (Ap.col_block, Xs.shape[1]),
+                Xs.dtype,
+            )
+            return out + reg * Xs
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(_specs_of(Ap.blocks, axis), P(axis)),
+            out_specs=P(axis),
+        )(Ap.blocks, Xp)
     if engine == "bsr":
         if Ap.local_bsr is None or Ap.local_bsr_t is None:
             raise ValueError("partition built without build_bsr_shards=True")

@@ -66,6 +66,11 @@ class RowPartitioned:
     col_perm: Optional[jax.Array] = None
     row_inv: Optional[jax.Array] = None
     col_inv: Optional[jax.Array] = None
+    # (P, P)-stacked TRANSPOSE tilings of each column block (A_{p,q}ᵀ,
+    # shape (col_block, row_block)) — the reduce-scatter ring of
+    # pnormal_mm(schedule='ring') / pspmm_t(schedule='ring') multiplies
+    # these against local rows while partial outputs travel the ring.
+    blocks_bsr_t: Optional[BsrMatrix] = None
 
 
 def _to_host_coo(mat, dtype):
@@ -282,7 +287,7 @@ def partition_rows(
             n_valid=capb,
         )
 
-    local_bsr = local_bsr_t = blocks_bsr = None
+    local_bsr = local_bsr_t = blocks_bsr = blocks_bsr_t = None
     if build_bsr_shards:
         fwd_shards, bwd_shards = [], []
         for p in range(P):
@@ -298,25 +303,34 @@ def partition_rows(
         local_bsr = _stack_bsr_shards(fwd_shards, config)
         local_bsr_t = _stack_bsr_shards(bwd_shards, config)
         if build_blocks:
-            blk_mats = []
+            blk_mats, blk_mats_t = [], []
             for p in range(P):
                 r, c, v = local_groups[p]
                 src = np.clip(c // col_block, 0, P - 1)
                 for q in range(P):
                     sel = src == q
+                    cq = c[sel] - q * col_block
                     blk_mats.append(
                         build_bsr(
                             COO.from_arrays(
-                                r[sel],
-                                c[sel] - q * col_block,
-                                v[sel],
-                                (row_block, col_block),
+                                r[sel], cq, v[sel], (row_block, col_block)
+                            ),
+                            config=config,
+                        )
+                    )
+                    blk_mats_t.append(
+                        build_bsr(
+                            COO.from_arrays(
+                                cq, r[sel], v[sel], (col_block, row_block)
                             ),
                             config=config,
                         )
                     )
             blocks_bsr = _stack_bsr_shards(
                 blk_mats, config, stack_shape=(P, P)
+            )
+            blocks_bsr_t = _stack_bsr_shards(
+                blk_mats_t, config, stack_shape=(P, P)
             )
 
     return RowPartitioned(
@@ -325,6 +339,7 @@ def partition_rows(
         local_bsr=local_bsr,
         local_bsr_t=local_bsr_t,
         blocks_bsr=blocks_bsr,
+        blocks_bsr_t=blocks_bsr_t,
         shape=shape,
         n_shards=P,
         row_block=row_block,

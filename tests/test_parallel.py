@@ -186,3 +186,75 @@ def test_reorder_balances_shards():
     # be used for balance; this documents the tradeoff (perm plumbing works
     # regardless: correctness asserted in test_partition_with_reorder)
     assert max_shard(reord) > 0 and max_shard(plain) > 0
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ring"])
+def test_pspmm_t(problem, mesh, schedule):
+    from fastsparse.parallel import pspmm_t
+
+    m, Ap = problem
+    rng = np.random.default_rng(21)
+    Y = rng.standard_normal((m.shape[0], 8))
+    Z = jax.jit(lambda Ap, Y: pspmm_t(Ap, Y, mesh, schedule=schedule))(
+        Ap, jnp.asarray(Y)
+    )
+    Z = unpad_result(Z, Ap, "cols")
+    np.testing.assert_allclose(np.asarray(Z), m.T @ Y, rtol=1e-10)
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ring"])
+def test_pspmv_t(problem, mesh, schedule):
+    from fastsparse.parallel import pspmv_t
+
+    m, Ap = problem
+    rng = np.random.default_rng(22)
+    y = rng.standard_normal(m.shape[0])
+    z = jax.jit(lambda Ap, y: pspmv_t(Ap, y, mesh, schedule=schedule))(
+        Ap, jnp.asarray(y)
+    )
+    z = unpad_result(z, Ap, "cols")
+    np.testing.assert_allclose(np.asarray(z), m.T @ y, rtol=1e-10)
+
+
+def test_pnormal_mm_ring(problem, mesh):
+    m, Ap = problem
+    rng = np.random.default_rng(23)
+    X = rng.standard_normal((m.shape[1], 8))
+    out = jax.jit(
+        lambda Ap, X: pnormal_mm(Ap, X, mesh, reg=0.25, schedule="ring")
+    )(Ap, jnp.asarray(X))
+    out = unpad_result(out, Ap, "cols")
+    ref = m.T @ (m @ X) + 0.25 * X
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10)
+
+
+def test_transpose_and_ring_bsr(mesh):
+    """pspmm_t (both schedules) and the fully-ringed normal equations on
+    the Pallas BSR engine, vs scipy."""
+    from fastsparse.parallel import pspmm_t
+
+    m = C.powerlaw_csr(512, 480, 7000, seed=31, dtype=np.float32)
+    Ap = shard_partitioned(
+        partition_rows(m, 8, build_bsr_shards=True), mesh
+    )
+    rng = np.random.default_rng(32)
+    Y = rng.standard_normal((512, 16)).astype(np.float32)
+    X = rng.standard_normal((480, 16)).astype(np.float32)
+    for schedule in ("allgather", "ring"):
+        Z = jax.jit(
+            lambda Ap, Y, s=schedule: pspmm_t(
+                Ap, Y, mesh, schedule=s, engine="bsr"
+            )
+        )(Ap, jnp.asarray(Y))
+        Z = unpad_result(Z, Ap, "cols")
+        np.testing.assert_allclose(
+            np.asarray(Z), m.T @ Y, rtol=2e-4, atol=2e-4
+        )
+    out = jax.jit(
+        lambda Ap, X: pnormal_mm(
+            Ap, X, mesh, reg=0.5, schedule="ring", engine="bsr"
+        )
+    )(Ap, jnp.asarray(X))
+    out = unpad_result(out, Ap, "cols")
+    ref = m.T @ (m @ X) + 0.5 * X
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)

@@ -11,7 +11,14 @@ from .config import Config, DEFAULT, LANES
 from .formats.coo import COO, BinaryCOO, coo_from_scipy, binary_coo_from_scipy
 from .formats.csr import CSR, BinaryCSR, csr_from_scipy, binary_csr_from_scipy
 from .formats.convert import to_csr, to_coo, transpose_coo, to_bcoo, from_bcoo
-from .formats.ell import EllMatrix, SegmentedEll, build_ell, build_ell_segmented
+from .formats.ell import (
+    DdEll,
+    EllMatrix,
+    SegmentedEll,
+    build_ell,
+    build_ell_dd,
+    build_ell_segmented,
+)
 from .formats.bsr import BsrMatrix, build_bsr
 from .formats.hybrid import HybridMatrix, build_hybrid
 from .formats.segmented import ColSegmented, build_bsr_segmented
@@ -62,6 +69,8 @@ __all__ = [
     "to_bcoo",
     "from_bcoo",
     "build_ell",
+    "build_ell_dd",
+    "DdEll",
     "sort_coo",
     "ORDERINGS",
     "morton_key",

@@ -24,6 +24,7 @@ one on-device pass.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Tuple
 
 import jax
@@ -36,7 +37,15 @@ from .coo import BinaryCOO
 from .convert import to_csr, to_csr_host
 from .csr import CSR, BinaryCSR
 
-__all__ = ["EllBucket", "EllMatrix", "SegmentedEll", "build_ell", "build_ell_segmented"]
+__all__ = [
+    "EllBucket",
+    "EllMatrix",
+    "SegmentedEll",
+    "DdEll",
+    "build_ell",
+    "build_ell_segmented",
+    "build_ell_dd",
+]
 
 
 from ..utils.shapes import ceil_pow2 as _ceil_pow2
@@ -287,4 +296,64 @@ def build_ell_segmented(
         seg_cols=seg_cols,
         shape=(nrow, ncol),
         nnz=int(rows.shape[0]),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class DdEll:
+    """Double-word VALUED ELL: two structure-identical ELL builds whose
+    value planes satisfy ``hi + lo == v`` (f64) to ~2^-48.
+
+    TPU answer to the reference's fp64 ``SparseDoubleMatrix`` (SURVEY.md
+    §2 R4) for *valued* matrices: no f64 arrays ever reach the device
+    (the library never requires x64 mode) — `ops.ell_ops.ell_spmm_dd`
+    runs the Dekker-TwoProd/TwoSum gather kernel over the two planes.
+    Structure identity holds because `build_ell` places entries purely
+    positionally (validity is ``k < n_valid``, never value-based).
+    """
+
+    hi: object  # EllMatrix | SegmentedEll (f32 head plane)
+    lo: object  # same structure, f32 residual plane
+    shape: tuple
+    nnz: int
+
+
+def build_ell_dd(mat, config: Config = DEFAULT, seg_cols=None) -> DdEll:
+    """Compile a valued matrix (f64 host values) into :class:`DdEll`.
+
+    ``seg_cols=None`` auto-segments when the doubled (hi+lo stacked)
+    operand panel would not stay VMEM-resident in the gather kernel.
+    """
+    from .coo import COO, BinaryCOO
+
+    if isinstance(mat, BinaryCOO):
+        raise TypeError("binary matrices use the unit dd path (build_ell)")
+    if hasattr(mat, "tocoo") and not isinstance(mat, (COO, CSR, BinaryCSR)):
+        m = mat.tocoo()
+        rows = m.row.astype(np.int64)
+        cols = m.col.astype(np.int64)
+        vals = m.data.astype(np.float64)
+        shape = tuple(m.shape)
+    else:
+        if isinstance(mat, (CSR, BinaryCSR)):
+            mat = mat.to_coo()
+        rows = np.asarray(mat.rows)[: mat.n_valid].astype(np.int64)
+        cols = np.asarray(mat.cols)[: mat.n_valid].astype(np.int64)
+        vals = np.asarray(mat.vals)[: mat.n_valid].astype(np.float64)
+        shape = tuple(mat.shape)
+    vh = vals.astype(np.float32)
+    vl = (vals - vh).astype(np.float32)
+
+    if seg_cols is None:
+        # x2 stacks hi+lo planes: residency budget is half the unit one
+        seg_cols = 8192 if shape[1] > 8192 else 0
+
+    def build(v):
+        coo = COO.from_arrays(rows, cols, v, shape)
+        if seg_cols:
+            return build_ell_segmented(coo, config=config, seg_cols=seg_cols)
+        return build_ell(coo, config=config)
+
+    return DdEll(
+        hi=build(vh), lo=build(vl), shape=shape, nnz=int(rows.shape[0])
     )

@@ -11,7 +11,12 @@ import jax
 import jax.numpy as jnp
 
 from ..formats.ell import EllMatrix, SegmentedEll
-from .pallas.ell_spmm import ELL_GROUP, ell_bucket_spmm, ell_bucket_spmm_dd
+from .pallas.ell_spmm import (
+    ELL_GROUP,
+    ell_bucket_spmm,
+    ell_bucket_spmm_dd,
+    ell_bucket_spmm_dd_valued,
+)
 
 __all__ = ["ell_spmm", "ell_spmm_dd", "gather_engine_supported", "gather_engine_fits"]
 
@@ -45,14 +50,15 @@ def gather_engine_fits(ncol: int, n_rhs: int, itemsize: int = 4) -> bool:
     return _round_up(max(ncol, 8), 8) * nb * itemsize <= X_VMEM_BUDGET
 
 
-def _bucket_chunks(b, ell):
+def _bucket_chunks(b, ell, budget=None):
     """Fixed-nb chunks of a bucket whose flat cols fit the SMEM budget."""
     nb, K = b.cols.shape
-    budget = (
-        _SMEM_IDX_BUDGET_UNIT
-        if getattr(ell, "unit_vals", False)
-        else _SMEM_IDX_BUDGET_VALUED
-    )
+    if budget is None:
+        budget = (
+            _SMEM_IDX_BUDGET_UNIT
+            if getattr(ell, "unit_vals", False)
+            else _SMEM_IDX_BUDGET_VALUED
+        )
     nb_max = max(ELL_GROUP, (budget // max(K, 1)) // 8 * 8)
     if nb <= nb_max:
         yield b.row_ids, b.cols, b.vals
@@ -105,6 +111,66 @@ def _dd_add(ah, al, bh, bl):
     return hi, lo - (hi - s)
 
 
+# cols + vh + vl scalar-prefetch arrays share the SMEM budget (3 arrays
+# vs the valued path's 2)
+_SMEM_IDX_BUDGET_DD = 40 * 1024
+
+
+def _ell_spmm_dd_valued(A, X):
+    """fp64-class ``Y = A @ X`` for VALUED matrices (`DdEll`): values and
+    operand both travel as two f32 planes; per-nonzero products run
+    Dekker TwoProd + TwoSum (`ell_bucket_spmm_dd_valued`). rel ~1e-13.
+    """
+    import numpy as np
+
+    from ..formats.ell import SegmentedEll
+
+    nrow, ncol = A.shape
+    Xh = np.asarray(X, np.float64)
+    N = Xh.shape[1]
+    n_block = min(_round_up(N, LANES), 512)
+    Npad = _round_up(N, n_block)
+
+    hi_segs = (
+        list(zip(A.hi.col_offsets, A.hi.segments))
+        if isinstance(A.hi, SegmentedEll)
+        else [(0, A.hi)]
+    )
+    lo_segs = (
+        list(A.lo.segments) if isinstance(A.lo, SegmentedEll) else [A.lo]
+    )
+    Yhi = jnp.zeros((nrow, Npad), jnp.float32)
+    Ylo = jnp.zeros((nrow, Npad), jnp.float32)
+    for (off, sh), sl in zip(hi_segs, lo_segs):
+        seg_ncol = sh.shape[1]
+        rows_pad = _round_up(max(seg_ncol + 1, 8), 8)
+        Xs = Xh[off : off + seg_ncol]
+        xhi = Xs.astype(np.float32)
+        xlo = (Xs - xhi).astype(np.float32)
+        x2 = np.zeros((2 * rows_pad, Npad), np.float32)
+        x2[:seg_ncol, :N] = xhi
+        x2[rows_pad : rows_pad + seg_ncol, :N] = xlo
+        x2j = jnp.asarray(x2)
+        Shi = jnp.zeros((nrow, Npad), jnp.float32)
+        Slo = jnp.zeros((nrow, Npad), jnp.float32)
+        for bh, bl in zip(sh.buckets, sl.buckets):
+            # structure-identical planes: chunk boundaries match exactly
+            chunks = zip(
+                _bucket_chunks(bh, sh, budget=_SMEM_IDX_BUDGET_DD),
+                _bucket_chunks(bl, sl, budget=_SMEM_IDX_BUDGET_DD),
+            )
+            for (rid, cc, vh), (_rid2, _cc2, vl) in chunks:
+                yh, yl = ell_bucket_spmm_dd_valued(
+                    cc, vh, vl, x2j, n_block=n_block
+                )
+                Shi = Shi.at[rid].add(yh)
+                Slo = Slo.at[rid].add(yl)
+        Yhi, Ylo = _dd_add(Yhi, Ylo, Shi, Slo)
+    return (
+        np.asarray(Yhi, np.float64) + np.asarray(Ylo, np.float64)
+    )[:, :N]
+
+
 def ell_spmm_dd(A, X):
     """fp64-class ``Y = A @ X`` for unit-values (binary) matrices on f32
     hardware: the f64 operand splits into hi/lo f32 planes and every sum
@@ -120,6 +186,11 @@ def ell_spmm_dd(A, X):
     A: EllMatrix or SegmentedEll with ``unit_vals=True``; X: f64[ncol, N].
     """
     import numpy as np
+
+    from ..formats.ell import DdEll
+
+    if isinstance(A, DdEll):
+        return _ell_spmm_dd_valued(A, X)
 
     nrow, ncol = A.shape
     Xh = np.asarray(X, np.float64)

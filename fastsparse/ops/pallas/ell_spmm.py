@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ell_bucket_spmm", "ell_bucket_spmm_dd", "ELL_GROUP"]
+__all__ = [
+    "ell_bucket_spmm",
+    "ell_bucket_spmm_dd",
+    "ell_bucket_spmm_dd_valued",
+    "ELL_GROUP",
+]
 
 ELL_GROUP = 8  # bucket rows per grid step (>= 8 output sublanes)
 _N_ACC = 4  # independent accumulators per row (breaks VPU add latency chain)
@@ -124,6 +129,108 @@ def _body_unit_dd(K, KB, G, K_rows, cols_ref, x_ref, ohi_ref, olo_ref):
             lo = lo + (err + blo)
         ohi_ref[pl.ds(g, 1), :] = hi
         olo_ref[pl.ds(g, 1), :] = lo
+
+
+def _body_dd_valued(
+    K, KB, G, K_rows, cols_ref, vh_ref, vl_ref, x_ref, ohi_ref, olo_ref
+):
+    """Valued double-word gather: fp64-class ``Σ v_k · x[col_k]`` from f32
+    hardware. Values arrive as two f32 planes (vh + vl == v to ~2^-48);
+    the head product ``vh·xh`` is made exact with a Dekker split (the VPU
+    exposes no FMA, so TwoProd-by-splitting is the error-free route), the
+    cross terms ``vh·xl + vl·xh`` carry at f32 into the low word, and the
+    running sum is a branch-free TwoSum chain — same shape as
+    `_body_dd_unit`, ~20 vector ops per nonzero instead of 8.
+
+    Magnitude caveat (standard Dekker): ``x·4097`` must not overflow —
+    |x| < ~8e34, far beyond any sane fp64 workload's f32 head.
+    """
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        ohi_ref[:] = jnp.zeros_like(ohi_ref)
+        olo_ref[:] = jnp.zeros_like(olo_ref)
+
+    for g in range(G):
+        hi = ohi_ref[pl.ds(g, 1), :]
+        lo = olo_ref[pl.ds(g, 1), :]
+        for u in range(KB):
+            k = (i * G + g) * K + t * KB + u
+            c = cols_ref[k]
+            vh = vh_ref[k]
+            vl = vl_ref[k]
+            xh = x_ref[pl.ds(c, 1), :]
+            xl = x_ref[pl.ds(K_rows + c, 1), :]
+            # Dekker 12/12-bit splits (exact): scalar vh, vector xh
+            vc = vh * 4097.0
+            vhh = vc - (vc - vh)
+            vhl = vh - vhh
+            xc = xh * 4097.0
+            xhh = xc - (xc - xh)
+            xhl = xh - xhh
+            p1 = vh * xh
+            perr = vhl * xhl + (vhl * xhh + (vhh * xhl + (vhh * xhh - p1)))
+            cross = vh * xl + vl * xh
+            # branch-free TwoSum(hi, p1); residue + cross into the low word
+            s = hi + p1
+            bb = s - hi
+            e = (hi - (s - bb)) + (p1 - bb)
+            hi = s
+            lo = lo + (e + (perr + cross))
+        ohi_ref[pl.ds(g, 1), :] = hi
+        olo_ref[pl.ds(g, 1), :] = lo
+
+
+@functools.partial(jax.jit, static_argnames=("n_block",))
+def ell_bucket_spmm_dd_valued(cols, vh, vl, x2, *, n_block: int):
+    """One valued bucket's double-word product.
+
+    cols: int32[nb, K]; vh/vl: f32[nb, K] value planes (padding -> 0);
+    x2: f32[2*K_rows, Npad] hi/lo planes of the f64 operand. Returns
+    (Y_hi, Y_lo) f32[nb, Npad].
+    """
+    nb, K = cols.shape
+    NB = n_block
+    Npad = x2.shape[1]
+    K_rows = x2.shape[0] // 2
+    nj = Npad // NB
+    G = ELL_GROUP
+    assert nb % G == 0, f"bucket nb={nb} not a multiple of {G}"
+    KB = min(_KB_MAX, K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nj, nb // G, K // KB),
+        in_specs=[
+            pl.BlockSpec(
+                (x2.shape[0], NB),
+                lambda j, i, t, *_s: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (G, NB), lambda j, i, t, *_s: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (G, NB), lambda j, i, t, *_s: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_body_dd_valued, K, KB, G, K_rows),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, Npad), jnp.float32),
+            jax.ShapeDtypeStruct((nb, Npad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(cols.reshape(-1), vh.reshape(-1), vl.reshape(-1), x2)
 
 
 @functools.partial(jax.jit, static_argnames=("n_block",))

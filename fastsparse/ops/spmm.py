@@ -112,16 +112,18 @@ def spmm(A, X):
 
 
 def spmm_dd(A, X):
-    """fp64-class ``Y = A @ X`` on f32 hardware (binary matrices).
+    """fp64-class ``Y = A @ X`` on f32 hardware (binary OR valued).
 
     Compensated double-word gather (`ops.ell_ops.ell_spmm_dd`): the f64
     operand splits into hi/lo f32 planes, sums run error-free TwoSum
     chains, result is float64 at rel ~1e-13 — the TPU answer to the
     reference's fp64 ``SparseDoubleMatrix`` products (SURVEY.md §2 R4)
     without emulated-f64 arithmetic. ``A``: unit-values EllMatrix /
-    SegmentedEll, or a SparseOperator whose forward tiling is one
-    (permutations are applied at the boundary). Host-level entry point —
-    not jittable (returns a NumPy array after one device fetch).
+    SegmentedEll, a `DdEll` (valued f64 matrices compiled with
+    `build_ell_dd` — Dekker TwoProd per nonzero), or a SparseOperator
+    whose forward tiling is one (permutations are applied at the
+    boundary). Host-level entry point — not jittable (returns a NumPy
+    array after one device fetch).
     """
     import numpy as np
 

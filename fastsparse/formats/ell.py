@@ -25,7 +25,7 @@ one on-device pass.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +80,9 @@ class EllMatrix:
     nnz: int = static_field()
     padded_nnz: int = static_field()  # sum of nb*K over buckets
     unit_vals: bool = static_field(default=False)
+    # optional gather-plan Y assembly (ops.assemble.AssemblyPlan): replaces
+    # the duplicate-index scatter in `ell_spmm` with static gathers
+    plan: Any = None
 
     @property
     def dtype(self):
@@ -112,6 +115,8 @@ class SegmentedEll:
     seg_cols: int = static_field()  # columns per segment (last may be short)
     shape: tuple = static_field()
     nnz: int = static_field()
+    # optional gather-plan Y assembly (see EllMatrix.plan)
+    plan: Any = None
 
     @property
     def padded_nnz(self) -> int:

@@ -360,6 +360,12 @@ def operator(
                 n_valid=coo.n_valid,
             )
         bwd = _compile_one(coo_t, format, config, dtype)
+    # Scatter-free Y assembly for the gather engine: precompute the
+    # slot->row gather schedule at build time (ops.assemble).
+    from .ops.assemble import attach_plan
+
+    fwd = attach_plan(fwd)
+    bwd = attach_plan(bwd)
     return SparseOperator(
         fwd=fwd,
         bwd=bwd,

@@ -1,0 +1,195 @@
+"""Gather-plan Y assembly for the ELL engine.
+
+`ell_spmm` collects per-bucket (and per-chunk) row panels and must combine
+them into Y. The fallback is one big ``Y.at[rids].add(parts)`` — a
+duplicate-index scatter-add whose XLA lowering rewrites the whole Y buffer
+(measured ~285 µs per rewrite on a 134 MB Y; see CLAUDE.md session-2
+notes). This module replaces it with *static gathers*, possible because the
+slot layout (which output row every part-slot feeds) is fully determined at
+format-build time:
+
+* group output rows by **multiplicity** (how many real part-slots feed
+  them — one per column segment the row touches);
+* per multiplicity class ``c``: ``Yc = Σ_{s<c} parts_cat[pos_c[:, s]]`` —
+  row gathers, traffic equal to the real slots, no scatter;
+* one final row gather ``Y = concat(Yc..., zero_row)[rowpos]`` maps class
+  order back to matrix order (rows with no nonzeros hit the zero row).
+
+The reference's analogous trick is row-block ownership making COO SpMV
+scatter-free (SURVEY.md §3.4); here ownership is precomputed per row at
+convert time instead of per thread at run time.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import pytree_dataclass, static_field
+
+__all__ = [
+    "AssemblyPlan",
+    "attach_plan",
+    "build_assembly_plan",
+    "apply_plan",
+]
+
+
+def attach_plan(fmt):
+    """Return ``fmt`` with assembly plans attached where the gather engine
+    can use them (f32 EllMatrix / SegmentedEll, incl. a hybrid's sparse
+    part). Other formats pass through unchanged."""
+    import dataclasses
+
+    from ..formats.ell import EllMatrix, SegmentedEll
+
+    if fmt is None:
+        return None
+    if type(fmt).__name__ == "HybridMatrix":
+        if fmt.sparse is None:
+            return fmt
+        return dataclasses.replace(fmt, sparse=attach_plan(fmt.sparse))
+    if isinstance(fmt, (EllMatrix, SegmentedEll)) and getattr(
+        fmt, "plan", None
+    ) is None:
+        segs = fmt.segments if isinstance(fmt, SegmentedEll) else (fmt,)
+        if all(s.dtype == jnp.float32 for s in segs):
+            return dataclasses.replace(fmt, plan=build_assembly_plan(fmt))
+    return fmt
+
+
+@pytree_dataclass
+class AssemblyPlan:
+    """Static gather schedule from part-slots to output rows.
+
+    ``classes[k]`` is int32[n_k, widths[k]]: positions into the
+    concatenated parts array of the rows with multiplicity ``widths[k]``,
+    in the class's row order. ``rowpos`` is int32[nrow]: position of each
+    output row in the class-concatenated panel, ``n_total`` (a zero row
+    appended by `apply_plan`) for empty rows. ``layout_key`` guards against
+    the chunking budgets changing between plan build and trace — on
+    mismatch callers must fall back to the scatter path.
+    """
+
+    classes: Tuple[jax.Array, ...]
+    rowpos: jax.Array
+    widths: Tuple[int, ...] = static_field()
+    n_slots: int = static_field()  # rows of parts_cat the plan was built for
+    layout_key: Tuple = static_field()
+
+
+def _slot_stream(A):
+    """Host replica of `_seg_parts`'s slot layout: yields per appended part
+    a (row_ids, valid) numpy pair, in exactly the order `ell_spmm` appends
+    compute parts. Must mirror `ops.ell_ops._seg_parts` — both consume
+    `_bucket_chunks` and the same budget globals."""
+    from . import ell_ops as eo
+    from ..formats.ell import SegmentedEll
+
+    segs = A.segments if isinstance(A, SegmentedEll) else [A]
+    for seg in segs:
+        unit = getattr(seg, "unit_vals", False)
+        sentinel = seg.shape[1]
+        budget = (
+            eo._SMEM_IDX_BUDGET_UNIT if unit else eo._SMEM_IDX_BUDGET_VALUED
+        )
+        k_cap = (
+            eo.SMEM_BLOCK_K_UNIT if unit else eo.SMEM_BLOCK_K_VALUED
+        )
+        for b in seg.buckets:
+            nb, K = b.cols.shape
+            if eo.USE_SMEM_PATH and nb * K > budget and K <= k_cap:
+                rid = np.asarray(b.row_ids)
+                valid = _valid_mask(b, unit, sentinel)
+                yield rid, valid
+                continue
+            for rid, cc, vv in eo._bucket_chunks(b, seg):
+                rid = np.asarray(rid)
+                if unit:
+                    valid = (np.asarray(cc) != sentinel).any(axis=1)
+                else:
+                    valid = (np.asarray(vv) != 0).any(axis=1)
+                yield rid, valid
+
+
+def _valid_mask(b, unit, sentinel):
+    if unit:
+        return (np.asarray(b.cols) != sentinel).any(axis=1)
+    return (np.asarray(b.vals) != 0).any(axis=1)
+
+
+def layout_key():
+    """Current chunking-budget state; plans are valid only under the
+    budgets they were built with (tests monkeypatch them)."""
+    from . import ell_ops as eo
+
+    return (
+        eo._SMEM_IDX_BUDGET_UNIT,
+        eo._SMEM_IDX_BUDGET_VALUED,
+        eo.SMEM_BLOCK_K_UNIT,
+        eo.SMEM_BLOCK_K_VALUED,
+        eo.USE_SMEM_PATH,
+    )
+
+
+def build_assembly_plan(A) -> AssemblyPlan:
+    """Host-side plan build (one pass over the format's index arrays)."""
+    nrow = A.shape[0]
+    rids, valids, off = [], [], 0
+    for rid, valid in _slot_stream(A):
+        rids.append(rid.astype(np.int64))
+        valids.append(valid)
+        off += len(rid)
+    if rids:
+        rid_all = np.concatenate(rids)
+        valid_all = np.concatenate(valids)
+    else:
+        rid_all = np.zeros((0,), np.int64)
+        valid_all = np.zeros((0,), bool)
+    n_slots = len(rid_all)
+
+    pos_all = np.nonzero(valid_all)[0]
+    rows = rid_all[pos_all]
+    # group slot positions by output row
+    order = np.argsort(rows, kind="stable")
+    rows_s, pos_s = rows[order], pos_all[order]
+    counts = np.bincount(rows_s.astype(np.int64), minlength=nrow)
+    uniq_rows = np.unique(rows_s)
+    starts = np.concatenate([[0], np.cumsum(counts[uniq_rows])[:-1]])
+
+    classes, widths, rowpos = [], [], np.full((nrow,), -1, np.int64)
+    out_off = 0
+    for c in np.unique(counts[uniq_rows]):
+        sel = counts[uniq_rows] == c
+        rws = uniq_rows[sel]
+        st = starts[sel]
+        pos_c = pos_s[st[:, None] + np.arange(c)[None, :]]
+        classes.append(jnp.asarray(pos_c.astype(np.int32)))
+        widths.append(int(c))
+        rowpos[rws] = out_off + np.arange(len(rws))
+        out_off += len(rws)
+    rowpos[rowpos < 0] = out_off  # zero-row sentinel
+    return AssemblyPlan(
+        classes=tuple(classes),
+        rowpos=jnp.asarray(rowpos.astype(np.int32)),
+        widths=tuple(widths),
+        n_slots=n_slots,
+        layout_key=layout_key(),
+    )
+
+
+def apply_plan(plan: AssemblyPlan, parts_cat: jax.Array) -> jax.Array:
+    """parts_cat f32[n_slots, Npad] -> Y f32[nrow, Npad] via the plan's
+    gathers (no scatter)."""
+    npad = parts_cat.shape[1]
+    ys = []
+    for c, pos_c in zip(plan.widths, plan.classes):
+        yc = parts_cat[pos_c[:, 0]]
+        for s in range(1, c):
+            yc = yc + parts_cat[pos_c[:, s]]
+        ys.append(yc)
+    ys.append(jnp.zeros((1, npad), parts_cat.dtype))
+    ycat = jnp.concatenate(ys, axis=0)
+    return ycat[plan.rowpos]

@@ -11,11 +11,15 @@ import jax
 import jax.numpy as jnp
 
 from ..formats.ell import EllMatrix, SegmentedEll
+from . import assemble as _assemble
 from .pallas.ell_spmm import (
     ELL_GROUP,
+    SMEM_BLOCK_K_UNIT,
+    SMEM_BLOCK_K_VALUED,
     ell_bucket_spmm,
     ell_bucket_spmm_dd,
     ell_bucket_spmm_dd_valued,
+    ell_bucket_spmm_smem,
 )
 
 __all__ = ["ell_spmm", "ell_spmm_dd", "gather_engine_supported", "gather_engine_fits"]
@@ -30,6 +34,9 @@ LANES = 128
 _SMEM_IDX_BUDGET_UNIT = 128 * 1024
 _SMEM_IDX_BUDGET_VALUED = 64 * 1024
 _SMEM_IDX_BUDGET = _SMEM_IDX_BUDGET_UNIT  # compat alias (unit default)
+# One-program-per-bucket SMEM-blocked kernel: measured slower than chunked
+# scalar prefetch (see `_seg_parts`); flip for A/B experiments only.
+USE_SMEM_PATH = False
 # X panel residency budget. 12 MB (same as the BSR resident budget) lets a
 # ~24k-column matrix run unsegmented at n_block=128 — column segmentation
 # splits rows across segments and roughly doubles bucket padding, so one
@@ -86,7 +93,25 @@ def _seg_parts(ell: EllMatrix, Xseg, n_block: int, rids, parts):
     on rmat s18, 11 segments ≈ 3 ms more). Rows appearing in several
     segments are duplicate scatter indices — scatter-add sums them."""
     unit = getattr(ell, "unit_vals", False)
+    budget = _SMEM_IDX_BUDGET_UNIT if unit else _SMEM_IDX_BUDGET_VALUED
+    k_cap = SMEM_BLOCK_K_UNIT if unit else SMEM_BLOCK_K_VALUED
     for b in ell.buckets:
+        nb, K = b.cols.shape
+        if USE_SMEM_PATH and nb * K > budget and K <= k_cap:
+            # one program for the whole bucket: indices travel as blocked
+            # SMEM operands, dodging the scalar-prefetch chunk limit.
+            # Measured SLOWER than chunked scalar prefetch on v5e
+            # (powerlaw 65k^2: 24.7 vs 16.0 ms; rmat s18: 29.5 vs 23.2 —
+            # blocked SMEM operand DMAs don't pipeline like VMEM blocks),
+            # so OFF by default; kept as a working, bit-exact code path
+            # (scripts/verify_smem_ell_tpu.py).
+            parts.append(
+                ell_bucket_spmm_smem(
+                    b.cols, b.vals, Xseg, n_block=n_block, unit=unit
+                )
+            )
+            rids.append(b.row_ids)
+            continue
         for row_ids, cols, vals in _bucket_chunks(b, ell):
             parts.append(
                 ell_bucket_spmm(cols, vals, Xseg, n_block=n_block, unit=unit)
@@ -259,6 +284,17 @@ def ell_spmm(A, X, *, n_block: int | None = None) -> jax.Array:
             .set(X[off : off + seg_ncol])
         )
         _seg_parts(seg, Xseg, n_block, rids, parts)
+    plan = getattr(A, "plan", None)
+    if (
+        parts
+        and plan is not None
+        and plan.layout_key == _assemble.layout_key()
+        and plan.n_slots == sum(int(p.shape[0]) for p in parts)
+    ):
+        # scatter-free assembly: class-grouped gathers (ops.assemble)
+        return _assemble.apply_plan(plan, jnp.concatenate(parts, axis=0))[
+            :, :N
+        ]
     Y = jnp.zeros((nrow, Npad), jnp.float32)
     if parts:
         Y = Y.at[jnp.concatenate(rids)].add(jnp.concatenate(parts, axis=0))

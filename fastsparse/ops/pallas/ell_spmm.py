@@ -29,9 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "ell_bucket_spmm",
+    "ell_bucket_spmm_smem",
     "ell_bucket_spmm_dd",
     "ell_bucket_spmm_dd_valued",
     "ELL_GROUP",
+    "SMEM_BLOCK_K_UNIT",
+    "SMEM_BLOCK_K_VALUED",
 ]
 
 ELL_GROUP = 8  # bucket rows per grid step (>= 8 output sublanes)
@@ -181,6 +184,99 @@ def _body_dd_valued(
             lo = lo + (e + (perr + cross))
         ohi_ref[pl.ds(g, 1), :] = hi
         olo_ref[pl.ds(g, 1), :] = lo
+
+
+# Largest bucket row length the SMEM-blocked kernel accepts: the per-step
+# block is (1, G·K) per index array, double-buffered by the pipeline —
+# keep 2·arrays·G·K·4 B within ~half of the 1 MB SMEM so control scalars
+# still fit. Beyond this, callers fall back to chunked scalar prefetch.
+SMEM_BLOCK_K_UNIT = 8192
+SMEM_BLOCK_K_VALUED = 4096
+
+
+def _body_smem(K, KB, G, unit, *refs):
+    """Gather body with cols (and vals) as *blocked SMEM operands* instead
+    of whole-array scalar prefetch: each (i) strip group's (1, G, K) index
+    block is DMA'd by the pipeline, so bucket size is unbounded — one
+    pallas call per bucket regardless of nnz (the scalar-prefetch variant
+    must chunk at the 1 MB SMEM budget; hypersparse matrices paid ~100
+    launches per product). Same arithmetic as `_body`/`_body_unit`.
+
+    Block shape is 3-D ``(1, G, K)``: Mosaic requires the last two block
+    dims divisible by (8, 128) or equal to the array dims — ``(1, G·K)``
+    single-row blocks are rejected, ``(1, G=8, K)`` passes (probed on
+    real v5e, scripts/probe_smem_block_tpu.py).
+    """
+    if unit:
+        cols_ref, x_ref, o_ref = refs
+    else:
+        cols_ref, vals_ref, x_ref, o_ref = refs
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    for g in range(G):
+        accs = [None] * _N_ACC
+        for u in range(KB):
+            k = t * KB + u
+            c = cols_ref[0, g, k]
+            xr = x_ref[pl.ds(c, 1), :]
+            d = xr if unit else xr * vals_ref[0, g, k]
+            a = u % _N_ACC
+            accs[a] = d if accs[a] is None else accs[a] + d
+        acc = accs[0]
+        for a in accs[1:]:
+            if a is not None:
+                acc = acc + a
+        o_ref[pl.ds(g, 1), :] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_block", "unit"))
+def ell_bucket_spmm_smem(
+    cols, vals, x, *, n_block: int, unit: bool = False
+) -> jax.Array:
+    """One ELL bucket's ``Y_b = A_b @ X`` with SMEM-blocked indices.
+
+    Semantics identical to `ell_bucket_spmm`; use when the bucket's flat
+    cols exceed the scalar-prefetch SMEM budget but ``K`` is within
+    `SMEM_BLOCK_K_*` — the whole bucket then runs as one program.
+    """
+    nb, K = cols.shape
+    NB = n_block
+    Npad = x.shape[1]
+    nj = Npad // NB
+    G = ELL_GROUP
+    assert nb % G == 0, f"bucket nb={nb} not a multiple of {G}"
+    KB = min(_KB_MAX, K)
+
+    cols3 = cols.reshape(nb // G, G, K)
+    x_spec = pl.BlockSpec(
+        (x.shape[0], NB), lambda j, i, t: (0, j), memory_space=pltpu.VMEM
+    )
+    cols_spec = pl.BlockSpec(
+        (1, G, K), lambda j, i, t: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    out_spec = pl.BlockSpec(
+        (G, NB), lambda j, i, t: (i, j), memory_space=pltpu.VMEM
+    )
+    in_specs = [cols_spec, x_spec]
+    args = [cols3, x]
+    if not unit:
+        in_specs.insert(1, cols_spec)  # vals: same blocking, f32
+        args.insert(1, vals.reshape(nb // G, G, K))
+    return pl.pallas_call(
+        functools.partial(_body_smem, K, KB, G, unit),
+        grid=(nj, nb // G, K // KB),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, Npad), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("n_block",))

@@ -1,0 +1,92 @@
+"""Per-tile cost breakdown for the binary BSR headline (roadmap item 2).
+
+Headline config (banded 50k bw512 binary, N=128, auto tile_m=128) runs
+~1.0 us/tile vs ~0.1 us of pure MXU work. A/B the candidate costs in ONE
+process:
+
+  1. bitmask tiles + expansion, binary_path planes_n   (current headline)
+  2. bitmask tiles + expansion, binary_path planes_k
+  3. bitmask tiles + expansion, binary_path expand (HIGHEST, 6 passes)
+  4. bf16 VALUED tiles (no expansion, exact for 0/1), wide path
+  5. bitmask tiles, precision DEFAULT 1-pass (parity loss — bound only)
+
+(4) isolates the mask-expansion VPU cost at 4x the A-tile DMA bytes;
+(5) bounds the MXU-pass count cost.
+"""
+import time
+
+import numpy as np
+
+from fastsparse.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+
+import fastsparse as fs
+from fastsparse.bench.matrices import banded
+from fastsparse.bench.timing import time_fn
+from fastsparse.ops.bsr_ops import bsr_spmm
+
+T0 = time.perf_counter()
+
+
+def tick(msg):
+    print(f"[{time.perf_counter()-T0:7.1f}s] {msg}", flush=True)
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    assert float(jnp.sum(jnp.ones((8, 128)))) == 1024.0
+    tick("tunnel ok")
+
+    rng = np.random.default_rng(0)
+    mb = banded(50_000, 512, seed=4, density=0.39)
+    mb.data[:] = 1.0
+    nnz = int(mb.nnz)
+    X = jnp.asarray(rng.standard_normal((mb.shape[1], 128)), jnp.float32)
+    ref = mb[:256] @ np.asarray(X)
+    sc = np.abs(ref).max() + 1e-30
+
+    coo = fs.binary_coo_from_scipy(mb.tocoo())
+    cfg = fs.Config(tile_m=128)
+    A_bits = fs.build_bsr(coo, config=cfg)
+    n_tiles = sum(b.slab_ids.size for b in A_bits.buckets)
+    tick(f"built: {n_tiles} tiles ({nnz} nnz)")
+
+    def run(tag, f, parity=True):
+        Y = np.asarray(f(X))
+        err = float(np.abs(Y[:256] - ref).max() / sc)
+        dt = time_fn(lambda X: f(X), X, reps=20)
+        tick(
+            f"{tag:>28}: {dt*1e3:7.3f} ms  {dt/n_tiles*1e9:7.1f} ns/tile "
+            f"rel={err:.1e}"
+        )
+        if parity:
+            assert err < 2e-6, (tag, err)
+
+    for path in ("planes_n", "planes_k", "expand"):
+        run(
+            f"bits/{path}",
+            jax.jit(lambda X, p=path: bsr_spmm(A_bits, X, binary_path=p)),
+        )
+
+    A_bf = fs.build_bsr(coo, config=cfg, binary=False, dtype="bfloat16")
+    run("bf16 tiles (no expand)", jax.jit(lambda X: bsr_spmm(A_bf, X)))
+
+    run(
+        "bits DEFAULT 1-pass (bound)",
+        jax.jit(
+            lambda X: bsr_spmm(
+                A_bits, X, precision="default", binary_path="expand"
+            )
+        ),
+        parity=False,
+    )
+
+    tick("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -197,3 +197,33 @@ def test_valued_dd_strict_f32_semantics():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_smem_blocked_bucket_path(monkeypatch):
+    """Big buckets run as ONE program with SMEM-blocked indices: force the
+    path by shrinking the scalar-prefetch budget, results must match the
+    chunked path and scipy exactly (same arithmetic order per row)."""
+    import fastsparse.ops.ell_ops as eo
+
+    for unit in (False, True):
+        m = C.powerlaw_csr(512, 300, 9000, seed=9, dtype=np.float32)
+        if unit:
+            m.data[:] = 1.0
+        coo = coo_from_scipy(m, dtype=np.float32)
+        if unit:
+            import fastsparse as fs
+
+            coo = fs.binary_coo_from_scipy(m.tocoo())
+        A = build_ell(coo)
+        X = np.random.default_rng(10).standard_normal((300, 16)).astype(
+            np.float32
+        )
+        ref = np.asarray(ell_spmm(A, X))
+        with monkeypatch.context() as mp:
+            mp.setattr(eo, "USE_SMEM_PATH", True)
+            mp.setattr(eo, "_SMEM_IDX_BUDGET_UNIT", 64)
+            mp.setattr(eo, "_SMEM_IDX_BUDGET_VALUED", 64)
+            Y = np.asarray(ell_spmm(A, X))
+        sc = np.abs(m @ X).max() + 1e-30
+        assert np.abs(Y - m @ X).max() / sc < 2e-6
+        np.testing.assert_array_equal(Y, ref)

@@ -54,6 +54,15 @@ class Config:
     bsr_bucket_tiles: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
     rhs_panel: int = 128
     mesh_axis: str = "rows"
+    # Tile storage for *binary* matrices on the MXU (BSR) path:
+    #   "bf16"    — 0/1 values stored as bf16 (exact). 2 B/slot of HBM but
+    #               no per-use mask expansion; measured v5e headline
+    #               (banded 50k bw512 N=128, tm=128): 1.66 ms vs 3.39 ms —
+    #               the VPU expansion, not MXU passes, dominated bitmask
+    #               tiles (scripts/probe_tilecost_tpu.py).
+    #   "bitmask" — 1 bit/slot (32x less A traffic/storage); best when HBM
+    #               capacity or tile-DMA bandwidth is the binding limit.
+    binary_tiles: str = "bf16"
 
 
 DEFAULT = Config()

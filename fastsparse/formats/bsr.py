@@ -173,7 +173,16 @@ def build_bsr(mat, config: Config = DEFAULT, dtype=None, binary=None) -> BsrMatr
         raise TypeError(f"unsupported input {type(mat).__name__}")
     is_bin_in = isinstance(coo, BinaryCOO)
     if binary is None:
-        binary = is_bin_in
+        # bf16-valued tiles (0/1 exact in bf16) beat bitmask+expansion
+        # 2.1x on v5e (the per-use VPU mask expansion dominates bitmask
+        # tiles — scripts/probe_tilecost_tpu.py); bitmask remains the
+        # capacity-optimal storage via Config(binary_tiles="bitmask") or
+        # binary=True.
+        if is_bin_in and dtype is None and config.binary_tiles == "bf16":
+            binary = False
+            dtype = jnp.bfloat16
+        else:
+            binary = is_bin_in
     if binary and not is_bin_in:
         raise ValueError("bitmask tiles require a binary input matrix")
 

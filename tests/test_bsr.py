@@ -4,6 +4,7 @@ Oracle: scipy (SURVEY.md §4.1). Round-trip: todense == scipy dense.
 Kernels: bsr_spmm / bsr_spmv vs dense matmul, both strategies, valued and
 binary-bitmask tiles, fp32 rtol 1e-6 (BASELINE.json:5).
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -38,16 +39,23 @@ def test_bsr_roundtrip_valued(name, make):
 def test_bsr_roundtrip_binary(name, make):
     m = make()
     m.data[:] = 1.0
-    A = build_bsr(binary_coo_from_scipy(m))
+    A = build_bsr(binary_coo_from_scipy(m), binary=True)
     assert A.binary
     np.testing.assert_allclose(np.asarray(A.todense()), m.toarray(), atol=0)
+    # the DEFAULT for binary inputs is bf16-valued tiles (0/1 exact in
+    # bf16; no per-use mask expansion — Config.binary_tiles)
+    B = build_bsr(binary_coo_from_scipy(m))
+    assert not B.binary
+    if B.buckets:
+        assert B.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(B.todense()), m.toarray(), atol=0)
 
 
 def test_expand_bits_layout():
     rng = np.random.default_rng(0)
     dense = (rng.random((8, 128)) < 0.3).astype(np.float32)
     m = sp.csr_matrix(dense)
-    A = build_bsr(binary_coo_from_scipy(m))
+    A = build_bsr(binary_coo_from_scipy(m), binary=True)
     (b,) = A.buckets
     mask = np.asarray(expand_bits_reference(b.tiles, A.tile_k))[0, 0]
     np.testing.assert_array_equal(mask, dense)
@@ -59,7 +67,7 @@ def test_bsr_spmm_oracle(name, make, binary):
     m = make()
     if binary:
         m.data[:] = 1.0
-        A = build_bsr(binary_coo_from_scipy(m))
+        A = build_bsr(binary_coo_from_scipy(m), binary=True)
     else:
         A = build_bsr(coo_from_scipy(m, dtype=np.float32))
     rng = np.random.default_rng(7)
@@ -107,7 +115,7 @@ def test_bsr_spmv_oracle(binary):
     m = C.powerlaw_csr(300, 200, 4000, seed=11, dtype=np.float32)
     if binary:
         m.data[:] = 1.0
-        A = build_bsr(binary_coo_from_scipy(m))
+        A = build_bsr(binary_coo_from_scipy(m), binary=True)
     else:
         A = build_bsr(coo_from_scipy(m, dtype=np.float32))
     rng = np.random.default_rng(13)

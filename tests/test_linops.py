@@ -45,10 +45,13 @@ def test_matmat_normal(prob):
 def test_binary_auto(prob):
     m = prob.copy()
     m.data[:] = 1.0
-    op = operator(m)  # auto: binary -> bitmask BSR
+    op = operator(m)  # auto: binary -> BSR with bf16-exact 0/1 tiles
+    import jax.numpy as jnp
+
     from fastsparse import BsrMatrix
 
-    assert isinstance(op.fwd, BsrMatrix) and op.fwd.binary
+    assert isinstance(op.fwd, BsrMatrix)
+    assert not op.fwd.binary and op.fwd.dtype == jnp.bfloat16
     x = np.random.default_rng(2).standard_normal(240).astype(np.float32)
     np.testing.assert_allclose(np.asarray(op.matvec(x)), m @ x, rtol=2e-5, atol=2e-5)
 

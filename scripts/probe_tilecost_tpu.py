@@ -85,6 +85,22 @@ def main():
         parity=False,
     )
 
+    # --- bounding variants through the operator (ColSegmented resident X,
+    # the bench.py path — direct unsegmented builds drop out of the
+    # resident strategy and mislead) --------------------------------------
+    op = fs.operator(mb, format="bsr", transpose=False)
+    run(
+        "op bf16 tiles 3-plane (bench)",
+        jax.jit(lambda X: op.matmat(X)),
+    )
+    # single bf16 X plane: 1 MXU pass, bf16 output — bounds what removing
+    # the 3-plane parity split could ever buy
+    run(
+        "op bf16 tiles, bf16 X 1-plane",
+        jax.jit(lambda X: op.matmat(X.astype(jnp.bfloat16))),
+        parity=False,
+    )
+
     tick("done")
 
 

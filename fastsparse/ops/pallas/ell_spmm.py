@@ -42,6 +42,20 @@ _N_ACC = 4  # independent accumulators per row (breaks VPU add latency chain)
 _KB_MAX = 16  # entries unrolled per grid step per row
 
 
+def _pick_kb(K: int) -> int:
+    """Entries per grid step: the largest divisor of K that is <= _KB_MAX.
+
+    The t-grid is ``K // KB`` steps - KB MUST divide K or the kernel
+    silently drops the remainder entries (the 2026-08-17 tune=True bug:
+    interval-DP widths like 18/24/35 lost rows' tails at rel ~0.4).
+    Pow2 widths always hit KB=16; odd widths degrade gracefully.
+    """
+    for kb in range(min(_KB_MAX, K), 0, -1):
+        if K % kb == 0:
+            return kb
+    return 1
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -249,7 +263,7 @@ def ell_bucket_spmm_smem(
     nj = Npad // NB
     G = ELL_GROUP
     assert nb % G == 0, f"bucket nb={nb} not a multiple of {G}"
-    KB = min(_KB_MAX, K)
+    KB = _pick_kb(K)
 
     cols3 = cols.reshape(nb // G, G, K)
     x_spec = pl.BlockSpec(
@@ -294,7 +308,7 @@ def ell_bucket_spmm_dd_valued(cols, vh, vl, x2, *, n_block: int):
     nj = Npad // NB
     G = ELL_GROUP
     assert nb % G == 0, f"bucket nb={nb} not a multiple of {G}"
-    KB = min(_KB_MAX, K)
+    KB = _pick_kb(K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -343,7 +357,7 @@ def ell_bucket_spmm_dd(cols, x2, *, n_block: int):
     nj = Npad // NB
     G = ELL_GROUP
     assert nb % G == 0, f"bucket nb={nb} not a multiple of {G}"
-    KB = min(_KB_MAX, K)
+    KB = _pick_kb(K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -393,7 +407,7 @@ def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.A
     nj = Npad // NB
     G = ELL_GROUP
     assert nb % G == 0, f"bucket nb={nb} not a multiple of {G}"
-    KB = min(_KB_MAX, K)
+    KB = _pick_kb(K)
 
     n_scalar = 1 if unit else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(

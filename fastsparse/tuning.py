@@ -60,19 +60,33 @@ def optimal_buckets(
     return _dp(lens, hist, min(max_buckets, m))
 
 
+def _cp2_rows(x):
+    """True bucket size for ``x`` rows: `build_ell` rounds each bucket's
+    row count up to a power of two (min 8); empty buckets cost nothing."""
+    x = np.asarray(x, np.float64)
+    xc = np.maximum(x, 8)
+    p = np.power(2.0, np.ceil(np.log2(np.maximum(xc, 1))))
+    return np.where(x > 0, p, 0.0)
+
+
 def _dp(lens, hist, K):
-    """Interval DP with parent backtrack: O(K·m²), m = distinct classes."""
+    """Interval DP with parent backtrack: O(K·m²), m = distinct classes.
+    Objective = sum over buckets of ceil_pow2(rows)·width — the storage
+    `build_ell` actually allocates (plain rows·width under-credits the
+    pow2 bucket-height rounding and mis-tunes)."""
     m = lens.size
     pre = np.concatenate([[0], np.cumsum(hist)]).astype(np.float64)
     lensf = lens.astype(np.float64)
     INF = np.inf
     f = np.full((K, m), INF)
     parent = np.full((K, m), -1, np.int64)
-    f[0] = lensf * pre[1:]
+    f[0] = lensf * _cp2_rows(pre[1:])
     for k in range(1, K):
         fp = f[k - 1]
-        # cand[i, j] = fp[i] + lens[j] * (pre[j+1] - pre[i+1]) for i < j
-        cand = fp[:, None] + lensf[None, :] * (pre[None, 1:] - pre[1:, None])
+        # cand[i, j] = fp[i] + lens[j] * cp2(pre[j+1] - pre[i+1]) for i < j
+        cand = fp[:, None] + lensf[None, :] * _cp2_rows(
+            pre[None, 1:] - pre[1:, None]
+        )
         ii, jj = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
         cand[ii >= jj] = INF
         best_i = np.argmin(cand, axis=0)
@@ -100,6 +114,19 @@ def padded_slots(counts: Sequence[int], edges: Sequence[int]) -> int:
     return int(edges[idx].sum())
 
 
+def allocated_slots(counts: Sequence[int], edges: Sequence[int]) -> int:
+    """`padded_slots` with `build_ell`'s pow2 bucket-height rounding —
+    the storage the format really allocates."""
+    counts = np.asarray(counts, np.int64)
+    counts = counts[counts > 0]
+    edges = np.sort(np.asarray(edges, np.int64))
+    idx = np.searchsorted(edges, counts, side="left")
+    if (idx >= edges.size).any():
+        raise ValueError("max count exceeds largest edge")
+    rows = np.bincount(idx, minlength=edges.size)
+    return int((_cp2_rows(rows) * edges).sum())
+
+
 def tuned_config(
     mat,
     config: Config = DEFAULT,
@@ -125,8 +152,51 @@ def tuned_config(
         cols = np.asarray(coo.cols)[: coo.n_valid].astype(np.int64)
         shape = coo.shape
 
-    row_counts = np.bincount(rows, minlength=shape[0])
-    ell_widths = optimal_buckets(row_counts, max_buckets=max_ell_buckets)
+    from .config import SEG_COLS
+
+    if shape[1] > SEG_COLS:
+        # Column-segmented gather formats bucket each row PER SEGMENT —
+        # rows split into much shorter per-segment pieces, so the DP must
+        # see those lengths, not global row nnz (global edges measured
+        # pad 2.15 -> 2.52 on segmented powerlaw 65k^2).
+        from .linops import _balanced_seg_cols
+
+        seg_w = _balanced_seg_cols(shape[1])
+        nseg = -(-shape[1] // seg_w)
+        pair = rows * nseg + cols // seg_w
+        upair_r, row_counts = np.unique(pair, return_counts=True)
+        seg_of_count = upair_r % nseg
+    else:
+        row_counts = np.bincount(rows, minlength=shape[0])
+        seg_of_count = np.zeros(row_counts.size, np.int64)
+    # Gather-kernel feasibility: widths > 16 run K//KB grid steps with KB
+    # the largest divisor of K <= 16 (`pallas.ell_spmm._pick_kb`) — odd
+    # widths would degrade to KB of 1-8. Quantize the COUNTS onto the
+    # allowed width lattice (<=16 exact, else multiples of 16) so the DP
+    # optimizes within it, then never return a set worse than the
+    # default pow2 edges.
+    live = row_counts > 0
+    rc = row_counts[live].astype(np.int64)
+    segs = seg_of_count[live]
+    rc_q = np.where(rc <= 16, rc, -(-rc // 16) * 16)
+    ell_widths = optimal_buckets(rc_q, max_buckets=max_ell_buckets)
+    if rc.size:
+        default_w = sorted(set(config.ell_bucket_widths))
+        if rc_q.max() > default_w[-1]:
+            from .utils.shapes import ceil_pow2
+
+            default_w.append(ceil_pow2(int(rc_q.max())))
+
+        def _alloc(edges):
+            # bucket heights pow2-round PER SEGMENT (each segment builds
+            # its own EllMatrix) — pooling under-counts that loss
+            return sum(
+                allocated_slots(rc_q[segs == s], edges)
+                for s in np.unique(segs)
+            )
+
+        if _alloc(default_w) < _alloc(ell_widths):
+            ell_widths = tuple(default_w)
 
     n_slabs = max(-(-shape[1] // config.tile_k), 1)
     pair = (rows // config.tile_m) * n_slabs + cols // config.tile_k

@@ -81,3 +81,57 @@ def test_tune_composes_with_reorder():
     np.testing.assert_allclose(
         np.asarray(op.matmat(X)), m @ X, rtol=2e-5, atol=1e-4
     )
+
+
+def test_tuned_operator_gather_correctness():
+    """Regression (2026-08-17): interval-DP widths like 18/24/35 made the
+    gather kernel drop K % KB tail entries (rel ~0.4). KB must divide K
+    (`pallas.ell_spmm._pick_kb`) and tuned widths > 16 quantize to
+    multiples of 16."""
+    import fastsparse as fs
+    from fastsparse.bench.matrices import powerlaw
+
+    mat = powerlaw(2048, 2048, 30_000, seed=3, binary=True)
+    X = np.random.default_rng(2).standard_normal((2048, 16)).astype(
+        np.float32
+    )
+    ref = mat @ X
+    op = fs.operator(mat, transpose=False, tune=True)
+    for w in (b.cols.shape[1] for b in op.fwd.buckets):
+        assert w <= 16 or w % 16 == 0, w
+    Y = np.asarray(op.matmat(X))
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 2e-6
+
+
+def test_pick_kb_divides():
+    from fastsparse.ops.pallas.ell_spmm import _KB_MAX, _pick_kb
+
+    for K in (1, 2, 3, 7, 10, 14, 16, 18, 24, 35, 62, 128, 336, 8192):
+        kb = _pick_kb(K)
+        assert 1 <= kb <= _KB_MAX and K % kb == 0
+
+
+def test_ell_spmm_odd_width_bucket():
+    """Direct odd-width coverage through the Pallas kernel (interpret on
+    CPU): width-18 rows must not lose their tail entries."""
+    import scipy.sparse as sp
+
+    import fastsparse as fs
+    from fastsparse.config import Config
+    from fastsparse.formats.ell import build_ell
+    from fastsparse.ops.ell_ops import ell_spmm
+
+    rng = np.random.default_rng(5)
+    nrow, ncol = 64, 200
+    m = sp.random(nrow, ncol, density=0.0, format="lil", dtype=np.float32)
+    for r in range(nrow):
+        cols = rng.choice(ncol, size=18, replace=False)
+        m[r, cols] = 1.0
+    m = m.tocsr()
+    coo = fs.binary_coo_from_scipy(m.tocoo())
+    A = build_ell(coo, config=Config(ell_bucket_widths=(18,)))
+    assert [b.cols.shape[1] for b in A.buckets] == [18]
+    X = rng.standard_normal((ncol, 8)).astype(np.float32)
+    Y = np.asarray(ell_spmm(A, X))
+    ref = m @ X
+    np.testing.assert_allclose(Y, ref, rtol=2e-5, atol=1e-5)

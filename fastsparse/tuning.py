@@ -22,7 +22,7 @@ import numpy as np
 
 from .config import DEFAULT, Config
 
-__all__ = ["optimal_buckets", "tuned_config", "padded_slots"]
+__all__ = ["optimal_buckets", "tuned_config", "padded_slots", "allocated_slots"]
 
 
 def optimal_buckets(

@@ -7,7 +7,12 @@ import pytest
 import scipy.sparse as sp
 
 import fastsparse as fs
-from fastsparse.tuning import optimal_buckets, padded_slots, tuned_config
+from fastsparse.tuning import (
+    allocated_slots,
+    optimal_buckets,
+    padded_slots,
+    tuned_config,
+)
 
 
 def test_dp_matches_bruteforce():
@@ -19,13 +24,15 @@ def test_dp_matches_bruteforce():
         assert len(got) <= K
         assert max(counts) in got
         lens = np.unique(counts)
+        # objective = the storage build_ell allocates (pow2 bucket
+        # heights), not plain padded slots
         best = min(
-            padded_slots(counts, comb)
+            allocated_slots(counts, comb)
             for k in range(1, K + 1)
             for comb in itertools.combinations(lens.tolist(), k)
             if max(counts) in comb
         )
-        assert padded_slots(counts, got) == best
+        assert allocated_slots(counts, got) == best
 
 
 def test_tuned_never_worse_than_pow2_default():

@@ -42,17 +42,25 @@ def measure_rtt(reps: int = 5) -> float:
 
 
 def time_fn(fn: Callable, *args, reps: int = 20, warmup: int = 2) -> float:
-    """Mean seconds per call: reps dispatches + one forced fetch - RTT."""
+    """Mean seconds per call: reps dispatches + one forced fetch - RTT.
+
+    Auto-scales ``reps`` until the aggregate is a few RTTs long — fast
+    kernels (< ~1 ms) are otherwise swamped by fetch-latency noise (the
+    2026-08-17 tm-sweep read 0.000 ms on a 0.2 ms product)."""
     rtt = measure_rtt()
     out = None
     for _ in range(warmup):
         out = fn(*args)
     fetch_scalar(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    fetch_scalar(out)
-    return max((time.perf_counter() - t0 - rtt) / reps, 1e-9)
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        fetch_scalar(out)
+        elapsed = time.perf_counter() - t0
+        if elapsed - rtt >= 3.0 * rtt or reps >= 640:
+            return max((elapsed - rtt) / reps, 1e-9)
+        reps *= 8
 
 
 def time_chain(fn: Callable, x0, reps: int = 10) -> float:

@@ -190,7 +190,9 @@ def bsr_spmm(
             )
             sids.append(strip_ids)
             parts.append(Yb.reshape(slab_ids.shape[0], TM, Npad))
-    Y = jnp.zeros((nsp + 1, TM, Npad), X.dtype)
+    # bf16 X still accumulates in f32 (Mosaic 32-bit matmul acc)
+    ydtype = jnp.float32 if X.dtype == jnp.bfloat16 else X.dtype
+    Y = jnp.zeros((nsp + 1, TM, Npad), ydtype)
     if parts:
         Y = Y.at[jnp.concatenate(sids)].set(jnp.concatenate(parts, axis=0))
     return Y[:nsp].reshape(nsp * TM, Npad)[:nrow, :N]

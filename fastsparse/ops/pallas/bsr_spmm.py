@@ -111,9 +111,12 @@ def _spmm_resident_body(binary, TK, TM, SG, TB, T, prec, slab_ref, tiles_ref, x_
             # HIGHEST: f32 operands must not fall to one-pass bf16 on the
             # MXU (fp32 parity is rtol 1e-6 — BASELINE.json:5).
             a, xs = _match_dot_dtypes(mats[g, u], xs)
+            # bf16 x bf16 is single-pass by nature: HIGHEST on bf16
+            # operands fails Mosaic verification ("Bad lhs type")
+            p = None if a.dtype == jnp.bfloat16 else prec
             d = jnp.dot(
                 a, xs, preferred_element_type=o_ref.dtype,
-                precision=prec,
+                precision=p,
             )
             acc = d if acc is None else acc + d
         o_ref[pl.ds(g * TM, TM), :] += acc
@@ -192,8 +195,9 @@ def _spmm_streamed_body(binary, TK, prec, slab_ref, tiles_ref, x_ref, o_ref):
     a, xs = _match_dot_dtypes(
         _block_mats(tiles_ref[0, 0], binary, TK, x_ref.dtype), x_ref[:]
     )
+    p = None if a.dtype == jnp.bfloat16 else prec
     o_ref[:] += jnp.dot(
-        a, xs, preferred_element_type=o_ref.dtype, precision=prec
+        a, xs, preferred_element_type=o_ref.dtype, precision=p
     )
 
 
@@ -269,7 +273,13 @@ def bucket_spmm(
         Npad //= 3
     NB = n_block
     nj = Npad // NB
-    out_dtype = jnp.float32 if bpath in ("planes_k", "planes_n") else x.dtype
+    # Mosaic requires a 32-bit matmul accumulator: a bf16 X panel still
+    # produces an f32 Y (callers may narrow afterwards).
+    out_dtype = (
+        jnp.float32
+        if bpath in ("planes_k", "planes_n") or x.dtype == jnp.bfloat16
+        else x.dtype
+    )
 
     if strategy == "resident":
         # Cap SG·TM (output rows per grid step): the batched bitmask

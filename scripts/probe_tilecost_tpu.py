@@ -51,7 +51,7 @@ def main():
 
     coo = fs.binary_coo_from_scipy(mb.tocoo())
     cfg = fs.Config(tile_m=128)
-    A_bits = fs.build_bsr(coo, config=cfg)
+    A_bits = fs.build_bsr(coo, config=cfg, binary=True)
     n_tiles = sum(b.slab_ids.size for b in A_bits.buckets)
     tick(f"built: {n_tiles} tiles ({nnz} nnz)")
 

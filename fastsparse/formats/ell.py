@@ -57,6 +57,10 @@ class EllBucket:
     cols: jax.Array  # int32[nb, K]
     vals: jax.Array  # dtype[nb, K]
     width: int = static_field()  # K
+    # slots [0, n_real) hold real rows; the pow2-rounding tail is padding.
+    # -1 = unknown (formats built before this field existed): consumers
+    # must fall back to inspecting cols/vals.
+    n_real: int = static_field(default=-1)
 
     @property
     def nb(self) -> int:
@@ -235,7 +239,11 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
         vals_b = jax.lax.dynamic_slice(flat_vals, (base,), (nb * w,)).reshape(nb, w)
         buckets.append(
             EllBucket(
-                row_ids=jnp.asarray(row_ids), cols=cols_b, vals=vals_b, width=w
+                row_ids=jnp.asarray(row_ids),
+                cols=cols_b,
+                vals=vals_b,
+                width=w,
+                n_real=int(rows_b.size),
             )
         )
         padded += nb * w

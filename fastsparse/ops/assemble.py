@@ -105,16 +105,27 @@ def _slot_stream(A):
                 valid = _valid_mask(b, unit, sentinel)
                 yield rid, valid
                 continue
+            if getattr(b, "n_real", -1) >= 0:
+                valid_full = np.arange(nb) < b.n_real
+            else:
+                valid_full = _valid_mask(b, unit, sentinel)
+            pos = 0
             for rid, cc, vv in eo._bucket_chunks(b, seg):
                 rid = np.asarray(rid)
-                if unit:
-                    valid = (np.asarray(cc) != sentinel).any(axis=1)
-                else:
-                    valid = (np.asarray(vv) != 0).any(axis=1)
+                n = len(rid)
+                real_n = min(n, nb - pos)
+                valid = np.zeros(n, bool)
+                valid[:real_n] = valid_full[pos : pos + real_n]
+                pos += real_n
                 yield rid, valid
 
 
 def _valid_mask(b, unit, sentinel):
+    """Per-slot liveness. `n_real` (static, recorded by build_ell) avoids
+    fetching the bucket's cols/vals — through the remote tunnel those are
+    the format's bulk (~MBs); row_ids alone are ~nb ints."""
+    if getattr(b, "n_real", -1) >= 0:
+        return np.arange(b.cols.shape[0]) < b.n_real
     if unit:
         return (np.asarray(b.cols) != sentinel).any(axis=1)
     return (np.asarray(b.vals) != 0).any(axis=1)

@@ -18,11 +18,14 @@ __all__ = [
 ]
 
 # Effective BSR tile cost on the MXU path for *scattered* dense tiles —
-# calibrated from the 2026-08-17 hybrid threshold sweep (v5e, ECFP):
-# raw batched tile compute is ~32-56 ns, but scattered tiles pay bucket
-# padding (pow2 ns, width rounding) and extra per-bucket launches; the
-# sweep shows thresholds below ~32 nnz/tile always lose.
-DENSE_TILE_S = 150e-9
+# calibrated from the 2026-08-17 hybrid threshold sweeps (v5e, ECFP +
+# rmat s18): raw batched tile compute is ~32-56 ns, but scattered tiles
+# pay bucket padding (pow2 ns, width rounding) and extra per-bucket
+# launches. Bitmask-era sweeps put breakeven at ~60 nnz/tile (150 ns);
+# with bf16-valued tiles (no mask expansion, session 3) the measured
+# optimum moved to th≈16-32 (ecfp: th=32 4.66 ms vs th=64 5.01; rmat:
+# 13.4 vs 14.2) → 100 ns, breakeven ≈ 40.
+DENSE_TILE_S = 100e-9
 # Gather-engine cost per raw nonzero, bucket padding folded in (measured:
 # 1.28M-nnz ECFP in 3.27 ms through the single-segment gather engine).
 GATHER_SLOT_S = 2.5e-9

@@ -383,15 +383,20 @@ def _compact_device(C_tiles, uo_key, *, tm, tk, n_jslabs):
     cols = (jslab[:, None, None] * tk + c_in).reshape(-1)
     vals = C_tiles.reshape(-1)
     live = (vals != 0) & jnp.repeat(valid_tile, tm * tk)
-    # sort key: dead entries to the tail, live entries keep tile order
-    key = jnp.where(live, jnp.arange(vals.shape[0], dtype=jnp.int32),
-                    jnp.int32(vals.shape[0]))
-    key, rows, cols, vals = jax.lax.sort(
-        [key, rows, cols, vals], num_keys=1, is_stable=True
-    )
-    rows = jnp.where(key < vals.shape[0], rows, 0)
-    cols = jnp.where(key < vals.shape[0], cols, 0)
-    return rows, cols, vals, live.sum()
+    # stream-compact via prefix-sum positions + one scatter per array:
+    # O(n) bandwidth vs the previous 4-array stable sort (~27 passes on
+    # a 62M-entry rmat13 product). Dead entries all land on the dump
+    # slot n, which the [:n] slice drops; live positions are unique so
+    # the scatters are exact.
+    n = vals.shape[0]
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    # dead entries point out of bounds and are DROPPED (no dump-slot
+    # duplicate writes); live positions are unique
+    idx = jnp.where(live, pos, n)
+    rows_c = jnp.zeros(n, rows.dtype).at[idx].set(rows, mode="drop")
+    cols_c = jnp.zeros(n, cols.dtype).at[idx].set(cols, mode="drop")
+    vals_c = jnp.zeros(n, vals.dtype).at[idx].set(vals, mode="drop")
+    return rows_c, cols_c, vals_c, live.sum()
 
 
 def spgemm_device(

@@ -60,7 +60,7 @@ def time_fn(fn: Callable, *args, reps: int = 20, warmup: int = 2) -> float:
         elapsed = time.perf_counter() - t0
         if elapsed - rtt >= 3.0 * rtt or reps >= 640:
             return max((elapsed - rtt) / reps, 1e-9)
-        reps *= 8
+        reps = min(reps * 8, 640)
 
 
 def time_chain(fn: Callable, x0, reps: int = 10) -> float:

@@ -81,10 +81,11 @@ class AssemblyPlan:
 
 
 def _slot_stream(A):
-    """Host replica of `_seg_parts`'s slot layout: yields per appended part
-    a (row_ids, valid) numpy pair, in exactly the order `ell_spmm` appends
-    compute parts. Must mirror `ops.ell_ops._seg_parts` — both consume
-    `_bucket_chunks` and the same budget globals."""
+    """Host view of the part-slot layout: yields per appended part a
+    (row_ids, valid) numpy pair, in exactly the order `ell_spmm` appends
+    compute parts. Both consume `ops.ell_ops._seg_layout` — THE single
+    layout source — so they cannot drift. Host cost: ONE row_ids fetch
+    per bucket (~nb int32), zero cols/vals traffic, zero device slicing."""
     from . import ell_ops as eo
     from ..formats.ell import SegmentedEll
 
@@ -92,32 +93,22 @@ def _slot_stream(A):
     for seg in segs:
         unit = getattr(seg, "unit_vals", False)
         sentinel = seg.shape[1]
-        budget = (
-            eo._SMEM_IDX_BUDGET_UNIT if unit else eo._SMEM_IDX_BUDGET_VALUED
-        )
-        k_cap = (
-            eo.SMEM_BLOCK_K_UNIT if unit else eo.SMEM_BLOCK_K_VALUED
-        )
-        for b in seg.buckets:
-            nb, K = b.cols.shape
-            if eo.USE_SMEM_PATH and nb * K > budget and K <= k_cap:
-                rid = np.asarray(b.row_ids)
-                valid = _valid_mask(b, unit, sentinel)
-                yield rid, valid
-                continue
-            if getattr(b, "n_real", -1) >= 0:
-                valid_full = np.arange(nb) < b.n_real
-            else:
+        cur_b, rid_full, valid_full = None, None, None
+        for b, mode, s0, s1, n_pad in eo._seg_layout(seg):
+            if b is not cur_b:
+                cur_b = b
+                rid_full = np.asarray(b.row_ids)
                 valid_full = _valid_mask(b, unit, sentinel)
-            pos = 0
-            for rid, cc, vv in eo._bucket_chunks(b, seg):
-                rid = np.asarray(rid)
-                n = len(rid)
-                real_n = min(n, nb - pos)
-                valid = np.zeros(n, bool)
-                valid[:real_n] = valid_full[pos : pos + real_n]
-                pos += real_n
-                yield rid, valid
+            n = s1 - s0
+            if s0 == 0 and s1 == len(rid_full) and n_pad == s1:
+                # part covers the whole bucket exactly
+                yield rid_full, valid_full
+                continue
+            rid = np.zeros(n_pad, rid_full.dtype)
+            rid[:n] = rid_full[s0:s1]
+            valid = np.zeros(n_pad, bool)
+            valid[:n] = valid_full[s0:s1]
+            yield rid, valid
 
 
 def _valid_mask(b, unit, sentinel):
@@ -148,11 +139,10 @@ def layout_key():
 def build_assembly_plan(A) -> AssemblyPlan:
     """Host-side plan build (one pass over the format's index arrays)."""
     nrow = A.shape[0]
-    rids, valids, off = [], [], 0
+    rids, valids = [], []
     for rid, valid in _slot_stream(A):
         rids.append(rid.astype(np.int64))
         valids.append(valid)
-        off += len(rid)
     if rids:
         rid_all = np.concatenate(rids)
         valid_all = np.concatenate(valids)

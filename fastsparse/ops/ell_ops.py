@@ -57,6 +57,56 @@ def gather_engine_fits(ncol: int, n_rhs: int, itemsize: int = 4) -> bool:
     return _round_up(max(ncol, 8), 8) * nb * itemsize <= X_VMEM_BUDGET
 
 
+def _chunk_ranges(nb: int, K: int, budget: int):
+    """Slot ranges (s0, s1, n_pad) covering a bucket under the SMEM budget
+    (last chunk pads to the shared n_pad so every chunk compiles once)."""
+    nb_max = max(ELL_GROUP, (budget // max(K, 1)) // 8 * 8)
+    if nb <= nb_max:
+        yield 0, nb, nb
+        return
+    for s0 in range(0, nb, nb_max):
+        yield s0, min(s0 + nb_max, nb), nb_max
+
+
+def _seg_layout(seg, budget=None):
+    """THE part-slot layout of one segment — the single source consumed by
+    the compute path (`_seg_parts`), the assembly-plan builder
+    (`ops.assemble._slot_stream`), and tests. Yields per appended part
+    ``(bucket, mode, s0, s1, n_pad)``: ``mode`` is "smem" (whole bucket,
+    one program) or "chunk" (slots [s0, s1) padded to n_pad rows).
+    A ``budget`` override (the dd paths) always chunks."""
+    unit = getattr(seg, "unit_vals", False)
+    b_eff = (
+        budget
+        if budget is not None
+        else (_SMEM_IDX_BUDGET_UNIT if unit else _SMEM_IDX_BUDGET_VALUED)
+    )
+    k_cap = SMEM_BLOCK_K_UNIT if unit else SMEM_BLOCK_K_VALUED
+    for b in seg.buckets:
+        nb, K = b.cols.shape
+        if budget is None and USE_SMEM_PATH and nb * K > b_eff and K <= k_cap:
+            yield b, "smem", 0, nb, nb
+            continue
+        for s0, s1, n_pad in _chunk_ranges(nb, K, b_eff):
+            yield b, "chunk", s0, s1, n_pad
+
+
+def _slice_chunk(b, ell, s0, s1, n_pad):
+    """Device slice of bucket slots [s0, s1) padded to n_pad rows
+    (padding rows: zero vals / sentinel columns — harmless)."""
+    nb, K = b.cols.shape
+    if (s0, s1, n_pad) == (0, nb, nb):
+        return b.row_ids, b.cols, b.vals
+    rid, cc, vv = b.row_ids[s0:s1], b.cols[s0:s1], b.vals[s0:s1]
+    if s1 - s0 < n_pad:
+        pad = n_pad - (s1 - s0)
+        pad_col = ell.shape[1] if getattr(ell, "unit_vals", False) else 0
+        rid = jnp.concatenate([rid, jnp.zeros((pad,), rid.dtype)])
+        cc = jnp.concatenate([cc, jnp.full((pad, K), pad_col, cc.dtype)])
+        vv = jnp.concatenate([vv, jnp.zeros((pad, K), vv.dtype)])
+    return rid, cc, vv
+
+
 def _bucket_chunks(b, ell, budget=None):
     """Fixed-nb chunks of a bucket whose flat cols fit the SMEM budget."""
     nb, K = b.cols.shape
@@ -66,22 +116,8 @@ def _bucket_chunks(b, ell, budget=None):
             if getattr(ell, "unit_vals", False)
             else _SMEM_IDX_BUDGET_VALUED
         )
-    nb_max = max(ELL_GROUP, (budget // max(K, 1)) // 8 * 8)
-    if nb <= nb_max:
-        yield b.row_ids, b.cols, b.vals
-        return
-    pad_col = ell.shape[1] if getattr(ell, "unit_vals", False) else 0
-    for s0 in range(0, nb, nb_max):
-        s1 = min(s0 + nb_max, nb)
-        rid, cc, vv = b.row_ids[s0:s1], b.cols[s0:s1], b.vals[s0:s1]
-        if s1 - s0 < nb_max:
-            pad = nb_max - (s1 - s0)
-            rid = jnp.concatenate([rid, jnp.zeros((pad,), rid.dtype)])
-            cc = jnp.concatenate(
-                [cc, jnp.full((pad, K), pad_col, cc.dtype)]
-            )
-            vv = jnp.concatenate([vv, jnp.zeros((pad, K), vv.dtype)])
-        yield rid, cc, vv
+    for s0, s1, n_pad in _chunk_ranges(nb, K, budget):
+        yield _slice_chunk(b, ell, s0, s1, n_pad)
 
 
 def _seg_parts(ell: EllMatrix, Xseg, n_block: int, rids, parts):
@@ -93,11 +129,8 @@ def _seg_parts(ell: EllMatrix, Xseg, n_block: int, rids, parts):
     on rmat s18, 11 segments ≈ 3 ms more). Rows appearing in several
     segments are duplicate scatter indices — scatter-add sums them."""
     unit = getattr(ell, "unit_vals", False)
-    budget = _SMEM_IDX_BUDGET_UNIT if unit else _SMEM_IDX_BUDGET_VALUED
-    k_cap = SMEM_BLOCK_K_UNIT if unit else SMEM_BLOCK_K_VALUED
-    for b in ell.buckets:
-        nb, K = b.cols.shape
-        if USE_SMEM_PATH and nb * K > budget and K <= k_cap:
+    for b, mode, s0, s1, n_pad in _seg_layout(ell):
+        if mode == "smem":
             # one program for the whole bucket: indices travel as blocked
             # SMEM operands, dodging the scalar-prefetch chunk limit.
             # Measured SLOWER than chunked scalar prefetch on v5e
@@ -112,12 +145,12 @@ def _seg_parts(ell: EllMatrix, Xseg, n_block: int, rids, parts):
             )
             rids.append(b.row_ids)
             continue
-        for row_ids, cols, vals in _bucket_chunks(b, ell):
-            parts.append(
-                ell_bucket_spmm(cols, vals, Xseg, n_block=n_block, unit=unit)
-            )
-            # padding chunk rows add zeros (zero vals / sentinel columns)
-            rids.append(row_ids)
+        row_ids, cols, vals = _slice_chunk(b, ell, s0, s1, n_pad)
+        parts.append(
+            ell_bucket_spmm(cols, vals, Xseg, n_block=n_block, unit=unit)
+        )
+        # padding chunk rows add zeros (zero vals / sentinel columns)
+        rids.append(row_ids)
 
 
 @jax.jit

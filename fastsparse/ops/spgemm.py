@@ -189,6 +189,19 @@ def spgemm(A, B, config: Config = DEFAULT, out_format: str = "coo"):
             np.zeros(0, np.float32), (ma, nb),
         )
         return C, info
+    if int(uout[-1]) >= np.iinfo(np.int32).max:
+        # tile keys overflow the device's int32 (x64 is off): fall back
+        # to host compaction rather than silently wrapping indices
+        C_host = np.asarray(C_tiles)[:nt_out]
+        t, r, c = np.nonzero(C_host)
+        rows = (uout[t] // n_jslabs) * TM + r
+        cols = (uout[t] % n_jslabs) * TK + c
+        keep = (rows < ma) & (cols < nb)
+        rows, cols = rows[keep], cols[keep]
+        vals = C_host[t[keep], r[keep], c[keep]]
+        info["nnz"] = int(rows.size)
+        C = COO.from_arrays(rows, cols, vals.astype(np.float32), (ma, nb))
+        return C, info
     rows_d, cols_d, vals_d, n_live = _compact_device(
         C_tiles[:nt_out],
         jnp.asarray(uout, jnp.int32),

@@ -129,7 +129,12 @@ def _stack_bsr_shards(shard_mats, config: Config, stack_shape=None) -> BsrMatrix
     TM, TK = shard_mats[0].tile_m, shard_mats[0].tile_k
     binary = shard_mats[0].binary
     tiles_last = TK // 32 if binary else TK
-    tiles_dtype = jnp.uint32 if binary else shard_mats[0].dtype
+    # dtype from the first shard WITH buckets: an empty shard's .dtype
+    # property falls back to f32 and would silently upcast every other
+    # shard's bf16 tiles (doubling stacked tile bytes)
+    tiles_dtype = jnp.uint32 if binary else next(
+        (A.dtype for A in shard_mats if A.buckets), shard_mats[0].dtype
+    )
     buckets = []
     for w in widths:
         per = [

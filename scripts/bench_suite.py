@@ -149,7 +149,8 @@ def tpu_configs():
     C, info = fs.spgemm(A, B)
     cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    C, info = fs.spgemm(A, B)  # warm: compiles + host symbolic cached
+    C, info = fs.spgemm(A, B)  # warm: device compiles cached (the
+    # host symbolic join still runs every call and is part of warm cost)
     dt = time.perf_counter() - t0
     ref = A @ B
     # f32 cancellation can zero a handful of entries that scipy's f64 keeps

@@ -50,10 +50,12 @@ def main():
     assert errc < 2e-6
 
     old = eo._SMEM_IDX_BUDGET_UNIT, eo._SMEM_IDX_BUDGET_VALUED
+    eo.USE_SMEM_PATH = True
     eo._SMEM_IDX_BUDGET_UNIT = eo._SMEM_IDX_BUDGET_VALUED = 64
     try:
         Ys = np.asarray(eo.ell_spmm(A, X))
     finally:
+        eo.USE_SMEM_PATH = False
         eo._SMEM_IDX_BUDGET_UNIT, eo._SMEM_IDX_BUDGET_VALUED = old
     errs = np.abs(Ys - ref).max() / sc
     bit = np.array_equal(Ys, Yc)
@@ -66,10 +68,12 @@ def main():
     refv = mv @ np.asarray(X)
     scv = np.abs(refv).max() + 1e-30
     Yvc = np.asarray(eo.ell_spmm(Av, X))
+    eo.USE_SMEM_PATH = True
     eo._SMEM_IDX_BUDGET_UNIT = eo._SMEM_IDX_BUDGET_VALUED = 64
     try:
         Yvs = np.asarray(eo.ell_spmm(Av, X))
     finally:
+        eo.USE_SMEM_PATH = False
         eo._SMEM_IDX_BUDGET_UNIT, eo._SMEM_IDX_BUDGET_VALUED = old
     ev = np.abs(Yvs - refv).max() / scv
     tick(
@@ -91,22 +95,21 @@ def main():
         refb = mat[:256] @ np.asarray(Xb)
         scb = np.abs(refb).max() + 1e-30
 
-        # chunked baseline: disable the SMEM path via its K cap
-        oldk = eo.SMEM_BLOCK_K_UNIT, eo.SMEM_BLOCK_K_VALUED
-        eo.SMEM_BLOCK_K_UNIT = eo.SMEM_BLOCK_K_VALUED = 0
-        try:
-            fc = jax.jit(lambda op, X: op.matmat(X))
-            Yb = np.asarray(fc(op, Xb))
-            e0 = np.abs(Yb[:256] - refb).max() / scb
-            dt0 = time_fn(fc, op, Xb, reps=10)
-        finally:
-            eo.SMEM_BLOCK_K_UNIT, eo.SMEM_BLOCK_K_VALUED = oldk
+        # chunked baseline (USE_SMEM_PATH defaults False)
+        fc = jax.jit(lambda op, X: op.matmat(X))
+        Yb = np.asarray(fc(op, Xb))
+        e0 = np.abs(Yb[:256] - refb).max() / scb
+        dt0 = time_fn(fc, op, Xb, reps=10)
         tick(f"{name} chunked: {dt0*1e3:8.3f} ms rel={e0:.2e}")
 
-        fsm = jax.jit(lambda op, X: op.matmat(X))
-        Yb2 = np.asarray(fsm(op, Xb))
-        e1 = np.abs(Yb2[:256] - refb).max() / scb
-        dt1 = time_fn(fsm, op, Xb, reps=10)
+        eo.USE_SMEM_PATH = True
+        try:
+            fsm = jax.jit(lambda op, X: op.matmat(X))
+            Yb2 = np.asarray(fsm(op, Xb))
+            e1 = np.abs(Yb2[:256] - refb).max() / scb
+            dt1 = time_fn(fsm, op, Xb, reps=10)
+        finally:
+            eo.USE_SMEM_PATH = False
         tick(
             f"{name} SMEM   : {dt1*1e3:8.3f} ms rel={e1:.2e} "
             f"speedup={dt0/dt1:.2f}x"

@@ -12,7 +12,8 @@ from fastsparse.formats.ell import SegmentedEll, build_ell, build_ell_segmented
 
 
 def _slot_contribs(A, X):
-    """Per part-slot contribution rows, in `_slot_stream` order (numpy)."""
+    """Per part-slot contribution rows, computed with numpy over the SAME
+    shared layout (`ops.ell_ops._seg_layout`) the compute path uses."""
     segs = (
         list(zip(A.col_offsets, A.segments))
         if isinstance(A, SegmentedEll)
@@ -24,24 +25,18 @@ def _slot_contribs(A, X):
         sentinel = seg.shape[1]
         Xs = np.zeros((sentinel + 1, X.shape[1]), X.dtype)
         Xs[:sentinel] = X[off : off + sentinel]
-        budget = (
-            eo._SMEM_IDX_BUDGET_UNIT if unit else eo._SMEM_IDX_BUDGET_VALUED
-        )
-        k_cap = eo.SMEM_BLOCK_K_UNIT if unit else eo.SMEM_BLOCK_K_VALUED
-        for b in seg.buckets:
-            nb, K = b.cols.shape
-            chunks = (
-                [(b.row_ids, b.cols, b.vals)]
-                if eo.USE_SMEM_PATH and nb * K > budget and K <= k_cap
-                else list(eo._bucket_chunks(b, seg))
-            )
-            for _rid, cc, vv in chunks:
-                cc = np.asarray(cc)
-                if unit:
-                    parts.append(Xs[cc].sum(axis=1))
-                else:
-                    vv = np.asarray(vv)
-                    parts.append((vv[..., None] * Xs[cc]).sum(axis=1))
+        for b, mode, s0, s1, n_pad in eo._seg_layout(seg):
+            cc = np.asarray(b.cols)[s0:s1]
+            if unit:
+                p = Xs[cc].sum(axis=1)
+            else:
+                vv = np.asarray(b.vals)[s0:s1]
+                p = (vv[..., None] * Xs[cc]).sum(axis=1)
+            if s1 - s0 < n_pad:
+                p = np.concatenate(
+                    [p, np.zeros((n_pad - (s1 - s0), X.shape[1]), p.dtype)]
+                )
+            parts.append(p)
     return np.concatenate(parts, axis=0) if parts else np.zeros((0, X.shape[1]))
 
 

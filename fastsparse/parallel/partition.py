@@ -294,17 +294,32 @@ def partition_rows(
 
     local_bsr = local_bsr_t = blocks_bsr = blocks_bsr_t = None
     if build_bsr_shards:
+        # binary inputs (all-unit values): store shard tiles as bf16 —
+        # exact for 0/1 and ~2x faster than f32 tiles on the MXU path
+        # (Config.binary_tiles; same win as the single-chip default)
+        tile_dtype = (
+            jnp.bfloat16
+            if dtype is None
+            and config.binary_tiles == "bf16"
+            and vals.size
+            and bool((vals == 1).all())
+            else None
+        )
         fwd_shards, bwd_shards = [], []
         for p in range(P):
             r, c, v = local_groups[p]
             shard_coo = COO.from_arrays(
                 r, c, v, (row_block, P * col_block)
             )
-            fwd_shards.append(build_bsr(shard_coo, config=config))
+            fwd_shards.append(
+                build_bsr(shard_coo, config=config, dtype=tile_dtype)
+            )
             shard_coo_t = COO.from_arrays(
                 c, r, v, (P * col_block, row_block)
             )
-            bwd_shards.append(build_bsr(shard_coo_t, config=config))
+            bwd_shards.append(
+                build_bsr(shard_coo_t, config=config, dtype=tile_dtype)
+            )
         local_bsr = _stack_bsr_shards(fwd_shards, config)
         local_bsr_t = _stack_bsr_shards(bwd_shards, config)
         if build_blocks:
@@ -321,6 +336,7 @@ def partition_rows(
                                 r[sel], cq, v[sel], (row_block, col_block)
                             ),
                             config=config,
+                            dtype=tile_dtype,
                         )
                     )
                     blk_mats_t.append(
@@ -329,6 +345,7 @@ def partition_rows(
                                 cq, r[sel], v[sel], (col_block, row_block)
                             ),
                             config=config,
+                            dtype=tile_dtype,
                         )
                     )
             blocks_bsr = _stack_bsr_shards(

@@ -101,6 +101,16 @@ def main():
         parity=False,
     )
 
+    # taller tiles: fixed per-tile cost dominates at tm=128 (172 vs
+    # 137 ns bound) — tm=256 halves the tile count on banded structure
+    for tm in (256, 512):
+        cfg_t = fs.Config(tile_m=tm)
+        op_t = fs.operator(mb, format="bsr", transpose=False, config=cfg_t)
+        run(
+            f"op bf16 tiles tm={tm}",
+            jax.jit(lambda X, o=op_t: o.matmat(X)),
+        )
+
     tick("done")
 
 

@@ -258,3 +258,28 @@ def test_transpose_and_ring_bsr(mesh):
     out = unpad_result(out, Ap, "cols")
     ref = m.T @ (m @ X) + 0.5 * X
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_stacked_shards_keep_bf16_with_empty_first_shard():
+    """Regression: an empty shard 0 made _stack_bsr_shards take its f32
+    fallback dtype and upcast every shard's bf16 binary tiles."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from fastsparse.parallel.partition import partition_rows
+
+    n = 256
+    m = sp.lil_matrix((n, n), dtype=np.float32)
+    for r in range(64, n):  # rows 0..63 (shards 0-1 of 8) empty
+        m[r, (r * 7) % n] = 1.0
+        m[r, (r * 13) % n] = 1.0
+    m = m.tocsr()
+    part = partition_rows(m, 8, build_bsr_shards=True)
+    A = part.local_bsr
+    assert A.buckets, "expected stacked buckets"
+    assert A.buckets[0].tiles.dtype == jnp.bfloat16
+    X = np.random.default_rng(0).standard_normal((n, 8)).astype(np.float32)
+    mesh = make_row_mesh()
+    Ap = shard_partitioned(part, mesh)
+    Y = np.asarray(unpad_result(pspmm(Ap, jnp.asarray(X), mesh, engine="bsr"), Ap, "rows"))
+    np.testing.assert_allclose(Y, m @ X, rtol=2e-5, atol=2e-5)

@@ -26,7 +26,7 @@ avoiding any in-kernel shuffle.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,9 @@ class BsrMatrix:
     tile_m: int = static_field()
     tile_k: int = static_field()
     binary: bool = static_field()
+    # optional strip-gather Y assembly (ops.assemble.BsrStripPlan):
+    # replaces the per-call strip scatter in `bsr_spmm` with one gather
+    strip_plan: Any = None
 
     @property
     def n_strips(self) -> int:

@@ -38,19 +38,36 @@ __all__ = [
 
 
 def attach_plan(fmt):
-    """Return ``fmt`` with assembly plans attached where the gather engine
-    can use them (f32 EllMatrix / SegmentedEll, incl. a hybrid's sparse
-    part). Other formats pass through unchanged."""
+    """Return ``fmt`` with assembly plans attached where the engines can
+    use them: f32 EllMatrix / SegmentedEll get an :class:`AssemblyPlan`
+    (class-grouped gathers), BsrMatrix gets a :class:`BsrStripPlan`
+    (strip gather); hybrid/column-segmented containers recurse. Other
+    formats pass through unchanged."""
     import dataclasses
 
+    from ..formats.bsr import BsrMatrix
     from ..formats.ell import EllMatrix, SegmentedEll
 
     if fmt is None:
         return None
     if type(fmt).__name__ == "HybridMatrix":
-        if fmt.sparse is None:
-            return fmt
-        return dataclasses.replace(fmt, sparse=attach_plan(fmt.sparse))
+        return dataclasses.replace(
+            fmt,
+            dense=attach_plan(fmt.dense),
+            sparse=attach_plan(fmt.sparse),
+        )
+    if type(fmt).__name__ == "ColSegmented":
+        return dataclasses.replace(
+            fmt, segments=tuple(attach_plan(s) for s in fmt.segments)
+        )
+    if isinstance(fmt, BsrMatrix) and fmt.strip_plan is None:
+        # stacked multi-shard containers (leading device axes on
+        # strip_ids) assemble inside shard_map — skip those
+        if all(b.strip_ids.ndim == 1 for b in fmt.buckets):
+            return dataclasses.replace(
+                fmt, strip_plan=build_strip_plan(fmt)
+            )
+        return fmt
     if isinstance(fmt, (EllMatrix, SegmentedEll)) and getattr(
         fmt, "plan", None
     ) is None:
@@ -58,6 +75,48 @@ def attach_plan(fmt):
         if all(s.dtype == jnp.float32 for s in segs):
             return dataclasses.replace(fmt, plan=build_assembly_plan(fmt))
     return fmt
+
+
+@pytree_dataclass
+class BsrStripPlan:
+    """Strip-gather schedule for `bsr_spmm`: ``pos[s]`` is the row of the
+    concatenated per-chunk strip panels holding strip ``s``'s output
+    (strips are disjoint across buckets), or the appended zero panel for
+    empty strips. ``n_parts`` = total panel rows the plan expects."""
+
+    pos: jax.Array  # int32[n_strips]
+    n_parts: int = static_field()
+    layout_key: Tuple = static_field()
+
+
+def bsr_layout_key():
+    from . import bsr_ops as bo
+
+    return (bo._SMEM_IDX_BUDGET,)
+
+
+def build_strip_plan(A) -> BsrStripPlan:
+    """Host-side strip plan: one strip_ids fetch per bucket."""
+    from . import bsr_ops as bo
+
+    nsp = A.n_strips
+    pos = np.full((nsp,), -1, np.int64)
+    off = 0
+    cur_b, sid_full = None, None
+    for b, s0, s1, n_pad in bo._bsr_layout(A):
+        if b is not cur_b:
+            cur_b = b
+            sid_full = np.asarray(b.strip_ids)
+        sid = sid_full[s0:s1]
+        real = sid < nsp  # padding bucket slots point at the dump strip
+        pos[sid[real]] = off + np.nonzero(real)[0]
+        off += n_pad
+    pos[pos < 0] = off  # zero-panel sentinel for empty strips
+    return BsrStripPlan(
+        pos=jnp.asarray(pos.astype(np.int32)),
+        n_parts=int(off),
+        layout_key=bsr_layout_key(),
+    )
 
 
 @pytree_dataclass

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..formats.bsr import BsrMatrix
+from .assemble import bsr_layout_key as _asm_bsr_layout_key
 from .pallas.bsr_spmm import bucket_spmm, bucket_spmv, pick_strategy
 
 __all__ = ["bsr_spmm", "bsr_spmv"]
@@ -32,33 +33,57 @@ _SMEM_IDX_BUDGET = 64 * 1024  # int32 entries -> 256 KB
 from ..utils.shapes import round_up as _round_up
 
 
+def _bucket_ranges(ns: int, T: int):
+    """Chunk ranges (s0, s1, n_pad) for one bucket under the SMEM budget."""
+    ns_max = max(8, (_SMEM_IDX_BUDGET // max(T, 1)) // 8 * 8)
+    if ns <= ns_max:
+        yield 0, ns, ns
+        return
+    for s0 in range(0, ns, ns_max):
+        yield s0, min(s0 + ns_max, ns), ns_max
+
+
+def _bsr_layout(A):
+    """THE part-chunk layout of a BsrMatrix — single source consumed by
+    the compute path, the strip-plan builder (`ops.assemble`), and tests.
+    Yields ``(bucket, s0, s1, n_pad)``: the part covers bucket strip rows
+    [s0, s1) padded to n_pad."""
+    for b in A.buckets:
+        ns, T = b.slab_ids.shape
+        for s0, s1, n_pad in _bucket_ranges(ns, T):
+            yield b, s0, s1, n_pad
+
+
+def _slice_bsr_chunk(b, dump_strip: int, s0: int, s1: int, n_pad: int):
+    """Device slice of bucket strip rows [s0, s1) padded to n_pad (padding
+    rows: slab 0, zero tiles, strip id = the caller's dump strip)."""
+    ns, T = b.slab_ids.shape
+    if (s0, s1, n_pad) == (0, ns, ns):
+        return b.strip_ids, b.slab_ids, b.tiles
+    strip = b.strip_ids[s0:s1]
+    slab = b.slab_ids[s0:s1]
+    tiles = b.tiles[s0:s1]
+    if s1 - s0 < n_pad:
+        pad = n_pad - (s1 - s0)
+        strip = jnp.concatenate(
+            [strip, jnp.full((pad,), dump_strip, strip.dtype)]
+        )
+        slab = jnp.concatenate([slab, jnp.zeros((pad, T), slab.dtype)])
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((pad,) + tiles.shape[1:], tiles.dtype)]
+        )
+    return strip, slab, tiles
+
+
 def _bucket_chunks(b, dump_strip: int):
     """Split a bucket into fixed-``ns`` chunks whose slab_ids fit SMEM.
 
     All chunks of a bucket share one shape -> one compiled program per
-    bucket width regardless of bucket size. The tail chunk is padded with
-    harmless rows (slab 0, zero tiles, strip id = the caller's dump strip).
+    bucket width regardless of bucket size.
     """
     ns, T = b.slab_ids.shape
-    ns_max = max(8, (_SMEM_IDX_BUDGET // max(T, 1)) // 8 * 8)
-    if ns <= ns_max:
-        yield b.strip_ids, b.slab_ids, b.tiles
-        return
-    for s0 in range(0, ns, ns_max):
-        s1 = min(s0 + ns_max, ns)
-        strip = b.strip_ids[s0:s1]
-        slab = b.slab_ids[s0:s1]
-        tiles = b.tiles[s0:s1]
-        if s1 - s0 < ns_max:
-            pad = ns_max - (s1 - s0)
-            strip = jnp.concatenate(
-                [strip, jnp.full((pad,), dump_strip, strip.dtype)]
-            )
-            slab = jnp.concatenate([slab, jnp.zeros((pad, T), slab.dtype)])
-            tiles = jnp.concatenate(
-                [tiles, jnp.zeros((pad,) + tiles.shape[1:], tiles.dtype)]
-            )
-        yield strip, slab, tiles
+    for s0, s1, n_pad in _bucket_ranges(ns, T):
+        yield _slice_bsr_chunk(b, dump_strip, s0, s1, n_pad)
 
 
 def pallas_supported(dtype) -> bool:
@@ -171,29 +196,44 @@ def bsr_spmm(
             )
 
     # Dump strip nsp catches padding bucket slots (strip_ids == nsp).
-    # One batched scatter: per-chunk .at[].set makes XLA rewrite the full
-    # Y buffer per chunk (same copy pathology as ell_ops._seg_spmm).
     sids, parts = [], []
-    for b in A.buckets:
-        for strip_ids, slab_ids, tiles in _bucket_chunks(b, nsp):
-            Yb = bucket_spmm(
-                slab_ids,
-                tiles,
-                Xp,
-                tile_m=TM,
-                tile_k=TK,
-                binary=A.binary,
-                n_block=n_block,
-                strategy=strategy,
-                precision=precision,
-                binary_path=binary_path,
-            )
-            sids.append(strip_ids)
-            parts.append(Yb.reshape(slab_ids.shape[0], TM, Npad))
+    for b, s0, s1, n_pad in _bsr_layout(A):
+        strip_ids, slab_ids, tiles = _slice_bsr_chunk(b, nsp, s0, s1, n_pad)
+        Yb = bucket_spmm(
+            slab_ids,
+            tiles,
+            Xp,
+            tile_m=TM,
+            tile_k=TK,
+            binary=A.binary,
+            n_block=n_block,
+            strategy=strategy,
+            precision=precision,
+            binary_path=binary_path,
+        )
+        sids.append(strip_ids)
+        parts.append(Yb.reshape(slab_ids.shape[0], TM, Npad))
     # bf16 X still accumulates in f32 (Mosaic 32-bit matmul acc)
     ydtype = jnp.float32 if X.dtype == jnp.bfloat16 else X.dtype
+    plan = getattr(A, "strip_plan", None)
+    if (
+        parts
+        and plan is not None
+        and plan.layout_key == _asm_bsr_layout_key()
+        and plan.n_parts == sum(int(p.shape[0]) for p in parts)
+    ):
+        # scatter-free: strips are disjoint, so Y is ONE gather over the
+        # concatenated strip panels (the .at[].set made XLA rewrite the
+        # whole Y buffer per call — same pathology as ell_ops' scatter)
+        cat = jnp.concatenate(
+            parts + [jnp.zeros((1, TM, Npad), parts[0].dtype)], axis=0
+        )
+        Y = cat[plan.pos].astype(ydtype)
+        return Y.reshape(nsp * TM, Npad)[:nrow, :N]
     Y = jnp.zeros((nsp + 1, TM, Npad), ydtype)
     if parts:
+        # one batched scatter: per-chunk .at[].set rewrites the full Y
+        # buffer per chunk
         Y = Y.at[jnp.concatenate(sids)].set(jnp.concatenate(parts, axis=0))
     return Y[:nsp].reshape(nsp * TM, Npad)[:nrow, :N]
 

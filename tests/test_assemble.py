@@ -5,6 +5,8 @@ import numpy as np
 import pytest
 import scipy.sparse as sp
 
+import conftest as C
+
 import fastsparse as fs
 import fastsparse.ops.assemble as asm
 import fastsparse.ops.ell_ops as eo
@@ -156,3 +158,55 @@ def test_operator_attaches_plan():
     Y = np.asarray(op.matmat(X))
     ref = m @ X
     assert np.abs(Y - ref).max() / (np.abs(ref).max() + 1e-30) < 2e-6
+
+
+def test_bsr_strip_plan():
+    """bsr_spmm with a strip plan must equal the scatter path bit-for-bit
+    (same per-chunk kernel outputs), including empty strips and chunked
+    buckets."""
+    import dataclasses
+
+    import fastsparse.ops.bsr_ops as bo
+    from fastsparse.formats.bsr import build_bsr
+    from fastsparse.ops.bsr_ops import bsr_spmm
+
+    m = C.powerlaw_csr(600, 300, 8000, seed=7, dtype=np.float32)
+    m[40:80] = 0  # empty strips
+    m.eliminate_zeros()
+    A = build_bsr(fs.coo_from_scipy(m, dtype=np.float32))
+    Ap = asm.attach_plan(A)
+    assert Ap.strip_plan is not None
+    X = np.random.default_rng(8).standard_normal((300, 16)).astype(np.float32)
+    Y0 = np.asarray(bsr_spmm(A, X))
+    Y1 = np.asarray(bsr_spmm(Ap, X))
+    np.testing.assert_array_equal(Y0, Y1)
+    ref = m @ X
+    assert np.abs(Y1 - ref).max() / (np.abs(ref).max() + 1e-30) < 2e-5
+
+    # chunked layout (tiny budget) — plan built under the same budget
+    old = bo._SMEM_IDX_BUDGET
+    bo._SMEM_IDX_BUDGET = 64
+    try:
+        Ap2 = asm.attach_plan(dataclasses.replace(A, strip_plan=None))
+        Y2 = np.asarray(bsr_spmm(Ap2, X))
+    finally:
+        bo._SMEM_IDX_BUDGET = old
+    np.testing.assert_allclose(Y2, ref, rtol=2e-5, atol=2e-5)
+    # stale plan under a different budget must fall back to scatter
+    Y3 = np.asarray(bsr_spmm(Ap2, X))
+    np.testing.assert_allclose(Y3, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_operator_attaches_bsr_plans():
+    m = C.powerlaw_csr(512, 50_000, 60_000, seed=9, dtype=np.float32)
+    m.data[:] = 1.0
+    op = fs.operator(m, format="bsr", transpose=False)
+    fmt = op.fwd  # ColSegmented of BsrMatrix
+    segs = fmt.segments if hasattr(fmt, "segments") else [fmt]
+    assert all(s.strip_plan is not None for s in segs)
+    X = np.random.default_rng(10).standard_normal((50_000, 8)).astype(
+        np.float32
+    )
+    Y = np.asarray(op.matmat(X))
+    ref = m @ X
+    assert np.abs(Y - ref).max() / (np.abs(ref).max() + 1e-30) < 2e-5

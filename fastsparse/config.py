@@ -46,6 +46,8 @@ class Config:
       bsr_bucket_tiles: allowed tiles-per-strip counts for tiled BSR buckets.
       rhs_panel: default number of RHS columns processed per SpMM panel.
       mesh_axis: name of the 1-D device-mesh axis used for row partitioning.
+      binary_tiles: tile storage for binary matrices on the BSR/MXU path —
+        "bf16" (default, fastest) or "bitmask" (32x smaller; see below).
     """
 
     tile_m: int = 8

@@ -1,26 +1,133 @@
 """Driver benchmark: one JSON line with the headline metric.
 
 Headline (BASELINE.json:9, config 3): Macau/SMURFF-style **blocked/BSR
-binary multi-RHS SpMM** ``Y = A @ X`` (N=128) — bitmask tiled-BSR through
-the Pallas MXU kernels (binary fp32-parity 3-pass path, column-segmented
-VMEM-resident X). ``vs_baseline`` is measured nnz/s over the target: 80 %
-of the speed-of-light HBM-bound nnz/s from the chip's *measured* bandwidth
+binary multi-RHS SpMM** ``Y = A @ X`` (N=128) through the Pallas MXU
+kernels. ``vs_baseline`` is measured nnz/s over the target: 80 % of the
+speed-of-light HBM-bound nnz/s from the chip's *measured* bandwidth
 (BASELINE.json:5; SURVEY.md §6). The hypersparse power-law case (gather
 engine) is reported in ``detail``.
+
+Tunnel-proofing: the TPU tunnel intermittently wedges or refuses backend
+init for minutes at a time (CLAUDE.md). This file is therefore a
+wrapper/child pair in one script:
+
+* **wrapper** (default): probes the backend with a tiny subprocess fetch
+  under a timeout, retrying with backoff; then runs the real bench as a
+  child subprocess (bounded, retried once — the persistent compile cache
+  makes the retry warm); parses the child's final JSON line and re-prints
+  it. If everything fails it still prints one *honest-failure* JSON line
+  (value 0, vs_baseline 0) and exits 0 so the round records a result.
+* **child** (``FASTSPARSE_BENCH_CHILD=1``): the actual measurement.
+  Parity is asserted on the FULL output at the BASELINE bar (fp32
+  rtol 1e-6, BASELINE.json:5). ``format_frac`` decomposes vs_baseline:
+  the format-achievable bound (stored A bytes + X + Y over measured bw)
+  next to the ideal-format SoL.
 """
 import json
+import os
+import subprocess
 import sys
+import time
 
-import numpy as np
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "print('PROBE_OK', float(jnp.ones((8, 128)).sum()))"
+)
 
 
-def main():
+def _probe_once(timeout: float) -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and "PROBE_OK 1024.0" in r.stdout
+
+
+def _fail_line(reason: str, backend_hint: str) -> str:
+    return json.dumps(
+        {
+            "metric": "binary_blocked_bsr_spmm_n128_nnz_per_s",
+            "value": 0.0,
+            "unit": "nnz/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": reason, "backend": backend_hint},
+        }
+    )
+
+
+def wrapper() -> int:
+    # 1) probe the tunnel: tiny fetch in a subprocess (a wedged tunnel
+    #    HANGS rather than erroring — only a subprocess can be timed out).
+    probe_ok = False
+    for attempt in range(8):
+        if _probe_once(timeout=180):
+            probe_ok = True
+            break
+        print(
+            f"bench wrapper: probe attempt {attempt + 1} failed; backing off",
+            file=sys.stderr,
+        )
+        time.sleep(45)
+    if not probe_ok:
+        print(
+            "bench wrapper: probes exhausted; attempting the run anyway",
+            file=sys.stderr,
+        )
+
+    # 2) run the real bench as a bounded child; one retry (warm cache).
+    env = dict(os.environ, FASTSPARSE_BENCH_CHILD="1")
+    last_err = "unknown"
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                timeout=2700,
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            last_err = "child timed out after 2700s"
+            print(f"bench wrapper: {last_err}", file=sys.stderr)
+            continue
+        sys.stderr.write(r.stderr[-4000:])
+        lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+        if r.returncode == 0 and lines:
+            try:
+                parsed = json.loads(lines[-1])
+            except json.JSONDecodeError:
+                last_err = f"child rc=0 but unparseable output: {lines[-1][:200]}"
+                continue
+            print(json.dumps(parsed))
+            return 0
+        last_err = (
+            f"child rc={r.returncode}: "
+            + (r.stderr.strip().splitlines()[-1] if r.stderr.strip() else "no stderr")
+        )
+        print(f"bench wrapper: attempt {attempt + 1}: {last_err}", file=sys.stderr)
+        time.sleep(30)
+
+    # 3) honest failure — still one parseable JSON line, rc 0.
+    print(_fail_line(last_err, os.environ.get("JAX_PLATFORMS", "?")))
+    return 0
+
+
+def child() -> None:
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import fastsparse as fs
     from fastsparse.bench.matrices import banded, powerlaw
+    from fastsparse.bench.metrics import format_stats, tree_nbytes
     from fastsparse.bench.sol import measure_hbm_bw, spmm_sol_seconds
     from fastsparse.bench.timing import time_fn
     from fastsparse.utils.cache import enable_persistent_cache
@@ -37,9 +144,10 @@ def main():
     X = jnp.asarray(rng.standard_normal((mb.shape[1], n_rhs)), jnp.float32)
     step = jax.jit(lambda op, X: op.matmat(X))
     Y = np.asarray(step(op, X))
-    ref = mb[:256] @ np.asarray(X)
-    err = float(np.abs(Y[:256] - ref).max() / (np.abs(ref).max() + 1e-30))
-    assert err < 2e-5, f"wrong result: rel={err}"
+    # FULL-output parity at the BASELINE bar (fp32 rtol 1e-6, BASELINE.json:5).
+    ref = (mb @ np.asarray(X)).astype(np.float64)
+    err = float(np.abs(Y - ref).max() / (np.abs(ref).max() + 1e-30))
+    assert err < 1e-6, f"wrong result: rel={err}"
     dt = time_fn(step, op, X, reps=20)
 
     bw = measure_hbm_bw()
@@ -47,16 +155,54 @@ def main():
     nnz_s = nnz / dt
     target = 0.80 * (nnz / sol)
 
+    # Format-achievable bound: the bytes the *stored* format actually moves
+    # (A arrays once + X + Y), over the measured bandwidth. format_frac < 1
+    # = kernel inefficiency; bound/sol = format (padding/dtype) overhead.
+    a_bytes = tree_nbytes(op.fwd)
+    xy_bytes = (mb.shape[1] + mb.shape[0]) * n_rhs * 4
+    bound_s = (a_bytes + xy_bytes) / bw
+    try:
+        stats = format_stats(op.fwd)
+    except TypeError:
+        stats = {"format": type(op.fwd).__name__}
+
+    detail = {
+        "ms_per_spmm": round(dt * 1e3, 3),
+        "gflops": round(2 * nnz * n_rhs / dt / 1e9, 1),
+        "rel_err": err,
+        "hbm_bw_GBs": round(bw / 1e9, 1),
+        "sol_fraction": round(nnz_s / (nnz / sol), 4),
+        "format_bound_ms": round(bound_s * 1e3, 3),
+        "format_frac": round(bound_s / dt, 4),
+        "a_bytes_per_nnz": round(a_bytes / nnz, 2),
+        "format": stats.get("format", "?"),
+        "matrix": f"banded 50k bw512 binary nnz={nnz}",
+        "n_rhs": n_rhs,
+        "backend": jax.default_backend(),
+    }
+
     # --- detail: hypersparse power-law via the gather engine -------------
-    mp = powerlaw(65_536, 65_536, 4_000_000, seed=0, binary=True)
-    opp = fs.operator(mp, transpose=False, reorder="degree")
-    Xp = jnp.asarray(rng.standard_normal((mp.shape[1], n_rhs)), jnp.float32)
-    stepp = jax.jit(lambda op, X: op.matmat(X))
-    Yp = np.asarray(stepp(opp, Xp))
-    refp = mp[:256] @ np.asarray(Xp)
-    errp = float(np.abs(Yp[:256] - refp).max() / (np.abs(refp).max() + 1e-30))
-    assert errp < 2e-5, f"wrong hypersparse result: rel={errp}"
-    dtp = time_fn(stepp, opp, Xp, reps=10)
+    # Optional: a failure here must not cost the headline record.
+    try:
+        mp = powerlaw(65_536, 65_536, 4_000_000, seed=0, binary=True)
+        opp = fs.operator(mp, transpose=False, reorder="degree")
+        Xp = jnp.asarray(
+            rng.standard_normal((mp.shape[1], n_rhs)), jnp.float32
+        )
+        stepp = jax.jit(lambda op, X: op.matmat(X))
+        Yp = np.asarray(stepp(opp, Xp))
+        refp = (mp @ np.asarray(Xp)).astype(np.float64)
+        errp = float(np.abs(Yp - refp).max() / (np.abs(refp).max() + 1e-30))
+        assert errp < 1e-5, f"wrong hypersparse result: rel={errp}"
+        dtp = time_fn(stepp, opp, Xp, reps=10)
+        detail["hypersparse_powerlaw"] = {
+            "ms": round(dtp * 1e3, 3),
+            "nnz_per_s": round(mp.nnz / dtp, 1),
+            "rel_err": errp,
+            "matrix": f"65536^2 powerlaw nnz={int(mp.nnz)}",
+        }
+    except Exception as e:  # pragma: no cover - best-effort detail
+        detail["hypersparse_powerlaw"] = {"error": repr(e)[:200]}
 
     print(
         json.dumps(
@@ -65,26 +211,14 @@ def main():
                 "value": round(nnz_s, 1),
                 "unit": "nnz/s",
                 "vs_baseline": round(nnz_s / target, 4),
-                "detail": {
-                    "ms_per_spmm": round(dt * 1e3, 3),
-                    "gflops": round(2 * nnz * n_rhs / dt / 1e9, 1),
-                    "rel_err": err,
-                    "hbm_bw_GBs": round(bw / 1e9, 1),
-                    "sol_fraction": round(nnz_s / (nnz / sol), 4),
-                    "matrix": f"banded 50k bw512 binary nnz={nnz}",
-                    "hypersparse_powerlaw": {
-                        "ms": round(dtp * 1e3, 3),
-                        "nnz_per_s": round(mp.nnz / dtp, 1),
-                        "rel_err": errp,
-                        "matrix": f"65536^2 powerlaw nnz={int(mp.nnz)}",
-                    },
-                    "n_rhs": n_rhs,
-                    "backend": jax.default_backend(),
-                },
+                "detail": detail,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("FASTSPARSE_BENCH_CHILD") == "1":
+        child()
+    else:
+        sys.exit(wrapper())

@@ -1,8 +1,10 @@
 """Tracing / profiling helpers (SURVEY.md §5.1).
 
 The reference's only instrumentation was ``omp_get_wtime`` in bench
-drivers; here every kernel dispatch site is wrapped in `jax.named_scope`
-so `jax.profiler` traces (perfetto) attribute device time per kernel.
+drivers. Here the hot dispatch sites (`ops.bsr_ops`, `ops.ell_ops`,
+`parallel.ops`) wrap their kernel launches in `named` so
+`jax.profiler` traces (perfetto/xprof) attribute device time per kernel;
+`trace` captures a profiler trace around any block.
 """
 from __future__ import annotations
 

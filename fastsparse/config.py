@@ -30,6 +30,13 @@ LANES = 128  # TPU lane width: last-dim tiling unit for every dtype.
 # (segmentation splits rows across segments and ~doubles bucket padding).
 SEG_COLS = 24064
 
+# X-residency column caps per BSR kernel path (12 MB budget, n_block=128):
+# binary3/planes ships X as 3 stacked bf16 planes (6 B/element) -> 16384
+# cols exactly; f32 X -> 24576. Segments wider than the cap silently fall
+# back to the slow streamed kernel — the caps keep segments resident.
+BSR_SEG_COLS_BINARY3 = 16384
+BSR_SEG_COLS_F32 = 24576
+
 
 @dataclasses.dataclass(frozen=True)
 class Config:
@@ -65,6 +72,13 @@ class Config:
     #   "bitmask" — 1 bit/slot (32x less A traffic/storage); best when HBM
     #               capacity or tile-DMA bandwidth is the binding limit.
     binary_tiles: str = "bf16"
+    # Row-strip panels ("auto"/"off"): when a strip's occupied column slabs
+    # are (nearly) contiguous — banded/clustered structure — store the strip
+    # as ONE (TM, W·TK) panel with a start slab instead of W separate tiles.
+    # Kills the pow2 tiles-per-strip bucket padding AND runs one dynamic
+    # slice + one wide MXU dot per strip instead of per tile. "auto"
+    # compares padded slab footprints and picks the smaller layout.
+    bsr_panels: str = "auto"
 
 
 DEFAULT = Config()

@@ -37,7 +37,13 @@ from ..utils.pytree import pytree_dataclass, static_field
 from .coo import COO, BinaryCOO
 from .csr import CSR, BinaryCSR
 
-__all__ = ["BsrBucket", "BsrMatrix", "build_bsr", "expand_bits_reference"]
+__all__ = [
+    "BsrBucket",
+    "PanelBucket",
+    "BsrMatrix",
+    "build_bsr",
+    "expand_bits_reference",
+]
 
 
 from ..utils.shapes import ceil_pow2 as _ceil_pow2
@@ -59,6 +65,39 @@ class BsrBucket:
     @property
     def is_binary(self) -> bool:
         return self.tiles.dtype == jnp.uint32
+
+
+@pytree_dataclass
+class PanelBucket:
+    """One panel class: strips whose occupied slabs span ``width``
+    *contiguous* column slabs (banded/clustered structure).
+
+    Where :class:`BsrBucket` stores ``T`` independent tiles per strip (each
+    with its own slab id), a panel strip is ONE ``(TM, width·TK)`` dense
+    block starting at column ``start_slab·TK`` — the execution kernel runs
+    one dynamic X slice and one wide MXU dot per strip instead of ``T``
+    slices/dots, and bucket padding rounds to the width ladder instead of
+    powers of two (the reference's per-row CSR loop had no such padding;
+    this is the TPU-native answer to its contiguous-band locality,
+    SURVEY.md §3.2).
+    """
+
+    strip_ids: jax.Array  # int32[ns] — row-strip id; padding slots -> n_strips
+    start_slab: jax.Array  # int32[ns] — first column slab; padding -> 0
+    panels: jax.Array  # dtype[ns,TM,PK] valued | uint32[ns,TM,PK//32] bits
+    width: int = static_field()  # slabs per panel (PK = width·TK)
+
+    @property
+    def ns(self) -> int:
+        return int(self.strip_ids.shape[0])
+
+    @property
+    def ntiles(self) -> int:  # tile-equivalents (metrics/partition compat)
+        return self.width
+
+    @property
+    def is_binary(self) -> bool:
+        return self.panels.dtype == jnp.uint32
 
 
 @pytree_dataclass
@@ -93,7 +132,14 @@ class BsrMatrix:
     def dtype(self):
         if self.binary:
             return jnp.float32
-        return self.buckets[0].tiles.dtype if self.buckets else jnp.float32
+        if not self.buckets:
+            return jnp.float32
+        b = self.buckets[0]
+        return (b.panels if isinstance(b, PanelBucket) else b.tiles).dtype
+
+    @property
+    def is_panel(self) -> bool:
+        return bool(self.buckets) and isinstance(self.buckets[0], PanelBucket)
 
     @property
     def tile_occupancy(self) -> float:
@@ -109,6 +155,22 @@ class BsrMatrix:
     def todense(self) -> jax.Array:
         TM, TK = self.tile_m, self.tile_k
         nsp, nsl = self.n_strips, self.n_slabs
+        if self.is_panel:
+            outp = jnp.zeros((nsp + 1, TM, nsl * TK), self.dtype)
+            for b in self.buckets:
+                PK = b.width * TK
+                panels = b.panels
+                if self.binary:
+                    panels = expand_bits_reference(panels, PK).astype(self.dtype)
+                # scatter each strip's panel at its start column
+                cols = (
+                    b.start_slab[:, None] * TK + jnp.arange(PK)[None, :]
+                )  # (ns, PK)
+                outp = outp.at[b.strip_ids[:, None, None],
+                               jnp.arange(TM)[None, :, None],
+                               cols[:, None, :]].add(panels)
+            dense = outp[:nsp].reshape(nsp * TM, nsl * TK)
+            return dense[: self.shape[0], : self.shape[1]]
         # One extra strip row: padding bucket slots point at strip n_strips.
         out = jnp.zeros((nsp + 1, TM, nsl, TK), self.dtype)
         for b in self.buckets:
@@ -152,7 +214,60 @@ def _fill_flat_bits(flat_shape_arr, slot, bit, valid):
     return flat.at[slot].add(word)
 
 
-def build_bsr(mat, config: Config = DEFAULT, dtype=None, binary=None) -> BsrMatrix:
+# Allowed panel widths (slabs): denser than pow2 so banded strips pad a few
+# percent, sparse enough that the compiled-program count stays O(log).
+_PANEL_WIDTHS = (
+    1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64, 80, 96,
+    128, 160, 192, 256, 320, 384, 512,
+)
+
+
+def _quantize_widths(wc: np.ndarray, n_slabs: int) -> np.ndarray:
+    """Round contiguous widths up the panel ladder, clamped to n_slabs."""
+    ladder = np.asarray([w for w in _PANEL_WIDTHS if w < n_slabs] + [n_slabs])
+    idx = np.searchsorted(ladder, wc, side="left")
+    return ladder[np.minimum(idx, ladder.size - 1)]
+
+
+def _round8(x: int) -> int:
+    return -(-int(x) // 8) * 8
+
+
+def _merge_panel_classes(wq: np.ndarray, ne: np.ndarray) -> np.ndarray:
+    """Merge width classes upward when that shrinks the padded footprint.
+
+    Every class pads its strip count to >= 8 (one kernel group); a 2-strip
+    class therefore wastes 6 padded panels. Promoting its strips to the
+    next width joins a bigger class — accepted whenever the summed padded
+    slab footprint does not grow."""
+    wq = wq.copy()
+    while True:
+        ws = np.unique(wq[ne])
+        merged = False
+        for i in range(len(ws) - 1):
+            w1, w2 = int(ws[i]), int(ws[i + 1])
+            c1 = int((wq == w1).sum())
+            c2 = int((wq == w2).sum())
+            old = _round8(max(c1, 8)) * w1 + _round8(max(c2, 8)) * w2
+            new = _round8(max(c1 + c2, 8)) * w2
+            if new <= old:
+                wq[wq == w1] = w2
+                merged = True
+                break
+        if not merged:
+            return wq
+
+
+def _panel_footprint(wq: np.ndarray, ne: np.ndarray) -> int:
+    slabs = 0
+    for w in np.unique(wq[ne]):
+        slabs += _round8(max(int((wq == w).sum()), 8)) * int(w)
+    return slabs
+
+
+def build_bsr(
+    mat, config: Config = DEFAULT, dtype=None, binary=None, panels=None
+) -> BsrMatrix:
     """Compile a COO/CSR matrix into bucketed (TM × TK) tiles.
 
     Bucket membership (which strips, how many tiles) fixes static shapes and
@@ -232,6 +347,43 @@ def build_bsr(mat, config: Config = DEFAULT, dtype=None, binary=None) -> BsrMatr
         tile_base_of_strip[strips_b] = flat_tiles + np.arange(strips_b.size) * w
         flat_tiles += ns * w
 
+    # --- panel layout: one (TM, W·TK) block per strip when occupied slabs
+    # are (nearly) contiguous. Chosen when its padded slab footprint beats
+    # the pow2 tile buckets' (banded/clustered structure wins by ~2x;
+    # scattered structure keeps tiles).
+    if panels is None and getattr(config, "bsr_panels", "off") == "auto":
+        panels = None  # decide by footprint below
+    elif panels is None:
+        panels = False
+    # Panels need the X panel VMEM-resident (there is no streamed-X panel
+    # kernel): gate on the same residency caps the operator segments to.
+    from ..config import BSR_SEG_COLS_BINARY3, BSR_SEG_COLS_F32
+
+    exact_bf16 = binary or (
+        dtype is not None and jnp.dtype(dtype) == jnp.bfloat16
+    )
+    cap_cols = BSR_SEG_COLS_BINARY3 if exact_bf16 else BSR_SEG_COLS_F32
+    if n_slabs * TK > cap_cols and panels is not True:
+        panels = False
+    if panels is not False and upair.size:
+        last = first_of_strip + np.maximum(tiles_per_strip - 1, 0)
+        smin = np.zeros(n_strips, np.int64)
+        smax = np.zeros(n_strips, np.int64)
+        ne = tiles_per_strip > 0  # nonempty strips
+        smin[ne] = uslab[first_of_strip[ne]]
+        smax[ne] = uslab[last[ne]]
+        wq = np.zeros(n_strips, np.int64)
+        wq[ne] = _quantize_widths((smax - smin + 1)[ne], n_slabs)
+        wq = _merge_panel_classes(wq, ne)
+        panel_slabs = _panel_footprint(wq, ne)
+        # ties go to panels: equal bytes, ~5x less per-tile fixed overhead
+        if panels is True or panel_slabs <= flat_tiles:
+            return _build_panels(
+                rows, cols, coo, is_bin_in, binary, dtype,
+                (nrow, ncol), n_strips, n_slabs, TM, TK, wq, smin,
+                int(upair.size),
+            )
+
     # Destination tile slot of every unique tile, then of every entry.
     tile_slot_of_u = tile_base_of_strip[ustrip] + urank
     tslot = tile_slot_of_u[inv]
@@ -293,6 +445,98 @@ def build_bsr(mat, config: Config = DEFAULT, dtype=None, binary=None) -> BsrMatr
         nnz=int(rows.shape[0]),
         n_tiles=int(upair.size),
         padded_tiles=padded_tiles,
+        tile_m=TM,
+        tile_k=TK,
+        binary=bool(binary),
+    )
+
+
+def _build_panels(
+    rows, cols, coo, is_bin_in, binary, dtype, shape,
+    n_strips, n_slabs, TM, TK, wq, smin, n_tiles,
+) -> BsrMatrix:
+    """Panel-layout build: one contiguous (TM, W·TK) block per strip.
+
+    ``wq[s]`` is strip ``s``'s ladder-quantized slab width (0 = empty),
+    ``smin[s]`` its first occupied slab. Strips are grouped by width into
+    :class:`PanelBucket`s; the bulk fill is the same single jitted device
+    scatter as the tile path, with per-strip flat offsets."""
+    nrow, ncol = shape
+    ne = wq > 0
+    classes = np.unique(wq[ne]) if ne.any() else np.asarray([1], np.int64)
+
+    # panel start: clamped so start + W <= n_slabs (X slices stay in-bounds)
+    start = np.zeros(n_strips, np.int64)
+    start[ne] = np.minimum(smin[ne], n_slabs - wq[ne])
+
+    base = np.zeros(n_strips, np.int64)  # flat element offset of each panel
+    meta = []  # (W, strips_c, ns_pad, class_base_elems)
+    off = 0
+    for w in classes:
+        strips_c = np.nonzero(wq == w)[0]
+        ns_pad = _round8(max(strips_c.size, 8))
+        per = TM * ((int(w) * TK) // 32 if binary else int(w) * TK)
+        meta.append((int(w), strips_c, ns_pad, off))
+        base[strips_c] = off + np.arange(strips_c.size) * per
+        off += ns_pad * per
+
+    flat_size = max(off + 1, 1)
+    idx_dt = jnp.int32 if flat_size < 2**31 else jnp.int64
+    strip = rows // TM
+    lcol = cols - start[strip] * TK  # column within the strip's panel
+    if binary:
+        wrd = (wq * TK) // 32
+        w_s = wrd[strip]
+        slot = base[strip] + (rows % TM) * w_s + lcol % w_s
+        bit = lcol // w_s
+        flat = _fill_flat_bits(
+            jnp.zeros((flat_size,), jnp.int8),
+            jnp.asarray(slot, idx_dt),
+            jnp.asarray(bit, jnp.int32),
+            jnp.ones((slot.shape[0],), bool),
+        )
+    else:
+        slot = base[strip] + (rows % TM) * (wq[strip] * TK) + lcol
+        if is_bin_in:
+            vals_dev = jnp.ones((rows.shape[0],), dtype or jnp.float32)
+        else:
+            vals_dev = coo.vals[: coo.n_valid]
+            if dtype is not None:
+                vals_dev = vals_dev.astype(dtype)
+        flat = _fill_flat_vals(
+            jnp.zeros((flat_size,), jnp.int8),
+            jnp.asarray(slot, idx_dt),
+            vals_dev,
+            jnp.ones((slot.shape[0],), bool),
+        )
+
+    buckets = []
+    padded = 0
+    for w, strips_c, ns_pad, cbase in meta:
+        last = (w * TK) // 32 if binary else w * TK
+        per = TM * last
+        strip_ids = np.full(ns_pad, n_strips, np.int32)
+        strip_ids[: strips_c.size] = strips_c
+        st = np.zeros(ns_pad, np.int32)
+        st[: strips_c.size] = start[strips_c]
+        panels_b = jax.lax.dynamic_slice(
+            flat, (cbase,), (ns_pad * per,)
+        ).reshape(ns_pad, TM, last)
+        buckets.append(
+            PanelBucket(
+                strip_ids=jnp.asarray(strip_ids),
+                start_slab=jnp.asarray(st),
+                panels=panels_b,
+                width=w,
+            )
+        )
+        padded += ns_pad * w
+    return BsrMatrix(
+        buckets=tuple(buckets),
+        shape=(nrow, ncol),
+        nnz=int(rows.shape[0]),
+        n_tiles=n_tiles,
+        padded_tiles=padded,
         tile_m=TM,
         tile_k=TK,
         binary=bool(binary),

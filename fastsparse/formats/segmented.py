@@ -36,6 +36,9 @@ class ColSegmented:
     seg_cols: int = static_field()
     shape: tuple = static_field()
     nnz: int = static_field()
+    # optional cross-segment strip assembly (ops.assemble.build_colseg_plan):
+    # one multiplicity-class gather instead of nseg full-Y additions
+    plan: Any = None
 
     @property
     def dtype(self):

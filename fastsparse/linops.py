@@ -139,12 +139,9 @@ def _balanced_seg_cols(ncol: int, cap: int = SEG_COLS) -> int:
     return w
 
 
-# X-residency column caps per kernel path (12 MB budget, n_block=128):
-# binary3 ships X as 3 stacked bf16 planes (6 B/element) -> 16384 cols
-# exactly; f32 X -> 24576. Segments wider than the cap silently fall
-# back to the slow streamed kernel — the caps keep segments resident.
-BSR_SEG_COLS_BINARY3 = 16384
-BSR_SEG_COLS_F32 = 24576
+# X-residency column caps re-exported from config (formats.bsr shares them
+# for the panel-layout gate).
+from .config import BSR_SEG_COLS_BINARY3, BSR_SEG_COLS_F32  # noqa: E402
 
 
 def tile_occupancy_estimate(coo, config: Config = DEFAULT) -> float:

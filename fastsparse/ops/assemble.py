@@ -57,9 +57,19 @@ def attach_plan(fmt):
             sparse=attach_plan(fmt.sparse),
         )
     if type(fmt).__name__ == "ColSegmented":
-        return dataclasses.replace(
+        fmt = dataclasses.replace(
             fmt, segments=tuple(attach_plan(s) for s in fmt.segments)
         )
+        if (
+            getattr(fmt, "plan", None) is None
+            and fmt.segments
+            and all(isinstance(s, BsrMatrix) for s in fmt.segments)
+            and all(
+                b.strip_ids.ndim == 1 for s in fmt.segments for b in s.buckets
+            )
+        ):
+            fmt = dataclasses.replace(fmt, plan=build_colseg_plan(fmt))
+        return fmt
     if isinstance(fmt, BsrMatrix) and fmt.strip_plan is None:
         # stacked multi-shard containers (leading device axes on
         # strip_ids) assemble inside shard_map — skip those
@@ -195,21 +205,13 @@ def layout_key():
     )
 
 
-def build_assembly_plan(A) -> AssemblyPlan:
-    """Host-side plan build (one pass over the format's index arrays)."""
-    nrow = A.shape[0]
-    rids, valids = [], []
-    for rid, valid in _slot_stream(A):
-        rids.append(rid.astype(np.int64))
-        valids.append(valid)
-    if rids:
-        rid_all = np.concatenate(rids)
-        valid_all = np.concatenate(valids)
-    else:
-        rid_all = np.zeros((0,), np.int64)
-        valid_all = np.zeros((0,), bool)
-    n_slots = len(rid_all)
+def _classes_from_slots(rid_all, valid_all, nrow):
+    """Group part-slot positions by output row and multiplicity.
 
+    Returns ``(classes, widths, rowpos)`` — the core of every gather-plan:
+    ``classes[k]`` int32[n_k, widths[k]] slot positions per row of
+    multiplicity ``widths[k]``; ``rowpos`` int32[nrow] position in the
+    class-concatenated output (sentinel = total = appended zero row)."""
     pos_all = np.nonzero(valid_all)[0]
     rows = rid_all[pos_all]
     # group slot positions by output row
@@ -231,12 +233,73 @@ def build_assembly_plan(A) -> AssemblyPlan:
         rowpos[rws] = out_off + np.arange(len(rws))
         out_off += len(rws)
     rowpos[rowpos < 0] = out_off  # zero-row sentinel
+    return classes, widths, rowpos
+
+
+def build_assembly_plan(A) -> AssemblyPlan:
+    """Host-side plan build (one pass over the format's index arrays)."""
+    nrow = A.shape[0]
+    rids, valids = [], []
+    for rid, valid in _slot_stream(A):
+        rids.append(rid.astype(np.int64))
+        valids.append(valid)
+    if rids:
+        rid_all = np.concatenate(rids)
+        valid_all = np.concatenate(valids)
+    else:
+        rid_all = np.zeros((0,), np.int64)
+        valid_all = np.zeros((0,), bool)
+    n_slots = len(rid_all)
+
+    classes, widths, rowpos = _classes_from_slots(rid_all, valid_all, nrow)
     return AssemblyPlan(
         classes=tuple(classes),
         rowpos=jnp.asarray(rowpos.astype(np.int32)),
         widths=tuple(widths),
         n_slots=n_slots,
         layout_key=layout_key(),
+    )
+
+
+def colseg_layout_key():
+    return ("colseg",) + bsr_layout_key()
+
+
+def build_colseg_plan(A) -> AssemblyPlan:
+    """Cross-segment strip plan for a ColSegmented of BsrMatrix.
+
+    A row-strip appears once per column segment its nonzeros touch; the
+    per-segment SpMM calls emit one (TM, Npad) panel per part slot. This
+    plan assembles Y with multiplicity-class gathers over the concatenated
+    panels — replacing ``nseg`` full-Y additions (each an nrow×N HBM
+    rewrite) with traffic proportional to the real strip panels."""
+    from . import bsr_ops as bo
+
+    nsp = A.segments[0].n_strips
+    sids, valids = [], []
+    for seg in A.segments:
+        cur_b, sid_full = None, None
+        for b, s0, s1, n_pad in bo._bsr_layout(seg):
+            if b is not cur_b:
+                cur_b = b
+                sid_full = np.asarray(b.strip_ids).astype(np.int64)
+            sid = np.zeros(n_pad, np.int64)
+            sid[: s1 - s0] = sid_full[s0:s1]
+            valid = np.zeros(n_pad, bool)
+            valid[: s1 - s0] = sid_full[s0:s1] < nsp
+            sids.append(sid)
+            valids.append(valid)
+    rid_all = np.concatenate(sids) if sids else np.zeros((0,), np.int64)
+    valid_all = (
+        np.concatenate(valids) if valids else np.zeros((0,), bool)
+    )
+    classes, widths, rowpos = _classes_from_slots(rid_all, valid_all, nsp)
+    return AssemblyPlan(
+        classes=tuple(classes),
+        rowpos=jnp.asarray(rowpos.astype(np.int32)),
+        widths=tuple(widths),
+        n_slots=len(rid_all),
+        layout_key=colseg_layout_key(),
     )
 
 

@@ -16,9 +16,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..formats.bsr import BsrMatrix
+from ..formats.bsr import BsrMatrix, PanelBucket
+from ..utils.profiling import named
 from .assemble import bsr_layout_key as _asm_bsr_layout_key
-from .pallas.bsr_spmm import bucket_spmm, bucket_spmv, pick_strategy
+from .pallas.bsr_spmm import (
+    bucket_spmm,
+    bucket_spmv,
+    panel_spmm,
+    pick_strategy,
+)
 
 __all__ = ["bsr_spmm", "bsr_spmv"]
 
@@ -49,7 +55,10 @@ def _bsr_layout(A):
     Yields ``(bucket, s0, s1, n_pad)``: the part covers bucket strip rows
     [s0, s1) padded to n_pad."""
     for b in A.buckets:
-        ns, T = b.slab_ids.shape
+        if isinstance(b, PanelBucket):
+            ns, T = b.ns, 1  # one SMEM entry (start slab) per strip
+        else:
+            ns, T = b.slab_ids.shape
         for s0, s1, n_pad in _bucket_ranges(ns, T):
             yield b, s0, s1, n_pad
 
@@ -84,6 +93,27 @@ def _bucket_chunks(b, dump_strip: int):
     ns, T = b.slab_ids.shape
     for s0, s1, n_pad in _bucket_ranges(ns, T):
         yield _slice_bsr_chunk(b, dump_strip, s0, s1, n_pad)
+
+
+def _slice_panel_chunk(b: PanelBucket, dump_strip: int, s0: int, s1: int, n_pad: int):
+    """Device slice of panel strips [s0, s1) padded to n_pad (padding rows:
+    start slab 0, zero panels, strip id = the caller's dump strip)."""
+    ns = b.ns
+    if (s0, s1, n_pad) == (0, ns, ns):
+        return b.strip_ids, b.start_slab, b.panels
+    strip = b.strip_ids[s0:s1]
+    start = b.start_slab[s0:s1]
+    panels = b.panels[s0:s1]
+    if s1 - s0 < n_pad:
+        pad = n_pad - (s1 - s0)
+        strip = jnp.concatenate(
+            [strip, jnp.full((pad,), dump_strip, strip.dtype)]
+        )
+        start = jnp.concatenate([start, jnp.zeros((pad,), start.dtype)])
+        panels = jnp.concatenate(
+            [panels, jnp.zeros((pad,) + panels.shape[1:], panels.dtype)]
+        )
+    return strip, start, panels
 
 
 def pallas_supported(dtype) -> bool:
@@ -126,8 +156,12 @@ def bsr_spmm(
     n_block: int | None = None,
     precision: str = "highest",
     binary_path: str | None = None,
+    _parts: bool = False,
 ) -> jax.Array:
-    """``Y = A @ X`` via the Pallas tile kernels. X: dtype[ncol, N]."""
+    """``Y = A @ X`` via the Pallas tile kernels. X: dtype[ncol, N].
+
+    ``_parts=True`` (internal, `colseg_spmm`) returns the raw
+    ``(sids, parts, Npad, nq)`` strip panels instead of assembling Y."""
     X = jnp.asarray(X)
     nrow, ncol = A.shape
     N = X.shape[1]
@@ -135,10 +169,58 @@ def bsr_spmm(
     nsp, nsl = A.n_strips, A.n_slabs
 
     if not pallas_supported(X.dtype):
+        if _parts:
+            raise TypeError("_parts requires a Pallas-supported X dtype")
         from .spmm import spmm as coo_spmm
 
         # correctness fallback (fp64 etc.) through the XLA engine
         return coo_spmm(_as_coo(A), X)
+
+    if A.is_panel:
+        return _panel_impl(A, X, precision, _parts=_parts)
+
+    # Narrow-RHS fast path for bf16-valued tiles (fp32 parity): all three
+    # bf16 X planes fit ONE 128-lane block, so each tile costs one MXU
+    # pass instead of planes_n's three. Covers SpMV and the reference's
+    # unrolled bcsr_A_mul_B2/4 shapes (SURVEY.md §3.3).
+    nq_narrow = 0
+    if (
+        n_block is None
+        and not A.binary
+        and A.dtype == jnp.bfloat16
+        and precision == "highest"
+        and X.dtype == jnp.float32
+    ):
+        nq_narrow = _narrow_nq(N)
+    if nq_narrow:
+        n_block = LANES
+        Npad = LANES
+        nq = nq_narrow
+        Xp = _pack_narrow_planes(X, nsl * TK, nq)
+        strategy = pick_strategy(
+            nsl, TK, n_block, Xp.dtype.itemsize, A.padded_tiles, 1
+        )
+        sids, parts = [], []
+        for b, s0, s1, n_pad in _bsr_layout(A):
+            strip_ids, slab_ids, tiles = _slice_bsr_chunk(b, nsp, s0, s1, n_pad)
+            Yb = bucket_spmm(
+                slab_ids,
+                tiles,
+                Xp,
+                tile_m=TM,
+                tile_k=TK,
+                binary=False,
+                n_block=n_block,
+                strategy=strategy,
+                precision=precision,
+                binary_path="none",
+            )
+            sids.append(strip_ids)
+            parts.append(Yb.reshape(slab_ids.shape[0], TM, Npad))
+        if _parts:
+            return sids, parts, Npad, nq
+        Y = _assemble_strips(A, sids, parts, Npad, jnp.float32)
+        return _fold_narrow(Y, nq)[:nrow, :N]
 
     if n_block is None:
         n_block = min(_round_up(N, LANES), 512)
@@ -213,8 +295,20 @@ def bsr_spmm(
         )
         sids.append(strip_ids)
         parts.append(Yb.reshape(slab_ids.shape[0], TM, Npad))
+    if _parts:
+        return sids, parts, Npad, 0
     # bf16 X still accumulates in f32 (Mosaic 32-bit matmul acc)
     ydtype = jnp.float32 if X.dtype == jnp.bfloat16 else X.dtype
+    return _assemble_strips(A, sids, parts, Npad, ydtype)[:nrow, :N]
+
+
+@named("bsr_assemble_strips")
+def _assemble_strips(A, sids, parts, Npad, ydtype):
+    """Per-chunk strip panels -> Y f32[n_strips·TM, Npad] (full padded
+    height; callers slice rows/cols). Prefers the strip plan's gather
+    (strips are disjoint) over the batched scatter."""
+    TM = A.tile_m
+    nsp = A.n_strips
     plan = getattr(A, "strip_plan", None)
     if (
         parts
@@ -229,13 +323,190 @@ def bsr_spmm(
             parts + [jnp.zeros((1, TM, Npad), parts[0].dtype)], axis=0
         )
         Y = cat[plan.pos].astype(ydtype)
-        return Y.reshape(nsp * TM, Npad)[:nrow, :N]
+        return Y.reshape(nsp * TM, Npad)
     Y = jnp.zeros((nsp + 1, TM, Npad), ydtype)
     if parts:
         # one batched scatter: per-chunk .at[].set rewrites the full Y
         # buffer per chunk
         Y = Y.at[jnp.concatenate(sids)].set(jnp.concatenate(parts, axis=0))
-    return Y[:nsp].reshape(nsp * TM, Npad)[:nrow, :N]
+    return Y[:nsp].reshape(nsp * TM, Npad)
+
+
+def _pack_narrow_planes(X, K: int, nq: int) -> jax.Array:
+    """Pack f32 ``X[ncol, N]`` into the narrow plane layout: bf16[K, 128]
+    = ``[x0 | x1 | x2 | 0-tail]`` with each plane padded to ``nq`` columns.
+
+    Pure pad/concatenate — no scatter, so it traces cleanly inside
+    `shard_map` bodies on explicit-axes meshes (scatter's sharding rule
+    rejects those)."""
+    ncol, N = X.shape
+    Xf = X.astype(jnp.float32)
+    if ncol > K:
+        # padded global operand wider than this tiling's slab extent: the
+        # extra rows can't be addressed by any slab — drop them
+        Xf = Xf[:K]
+    Xf = jnp.pad(Xf, ((0, max(K - ncol, 0)), (0, nq - N)))
+    hi, h1, x2 = _split_bf16_planes(Xf)
+    tail = jnp.zeros((K, LANES - 3 * nq), jnp.bfloat16)
+    return jnp.concatenate([hi, h1, x2, tail], axis=1)
+
+
+def _narrow_nq(N: int) -> int:
+    """Padded column count for the narrow-RHS plane packing, or 0 when N
+    is too wide: all 3 bf16 X planes of an N-column panel fit one 128-lane
+    block when 3·roundup(N, 8) <= 128 — one MXU pass instead of three."""
+    nq = _round_up(max(N, 1), 8)
+    return nq if 3 * nq <= LANES else 0
+
+
+def _prep_panel_x(A, X, N, precision):
+    """Pad/encode X for the panel kernel. Returns (Xp, NB, Npad, fold, nq)
+    — ``nq > 0`` marks the narrow packing (fold thirds AFTER assembly)."""
+    ncol = A.shape[1]
+    TK = A.tile_k
+    nsl = A.n_slabs
+    exact_bf16 = A.binary or A.dtype == jnp.bfloat16
+    parity = (
+        exact_bf16 and precision == "highest" and X.dtype == jnp.float32
+    )
+    nq = _narrow_nq(N) if parity else 0
+    if nq:
+        # narrow multi-RHS (SpMV, the reference's bcsr_A_mul_B2/4 shapes,
+        # SURVEY.md §3.3): 3 planes side by side in ONE 128-lane block
+        Xp = _pack_narrow_planes(X, nsl * TK, nq)
+        return Xp, LANES, LANES, False, nq
+    NB = LANES  # panels re-sweep per j block; X residency caps NB
+    Npad = _round_up(N, NB)
+    Xp = jnp.zeros((nsl * TK, Npad), X.dtype).at[:ncol, :N].set(X)
+    if parity:
+        hi, h1, x2 = _split_bf16_planes(Xp)
+        K_all = Xp.shape[0]
+        nj = Npad // NB
+        Xp = (
+            jnp.stack(
+                [p.reshape(K_all, nj, NB) for p in (hi, h1, x2)], axis=2
+            ).reshape(K_all, nj * 3 * NB)
+        )
+        return Xp, NB, Npad, True, 0
+    return Xp, NB, Npad, False, 0
+
+
+def _panel_parts(A, Xp, NB, Npad, fold, precision):
+    """Run the panel kernel per chunk; returns (sids, parts) for
+    `_assemble_strips`."""
+    TM, TK = A.tile_m, A.tile_k
+    nsp = A.n_strips
+    sids, parts = [], []
+    for b, s0, s1, n_pad in _bsr_layout(A):
+        strip_ids, starts, panels = _slice_panel_chunk(b, nsp, s0, s1, n_pad)
+        Yb = panel_spmm(
+            starts,
+            panels,
+            Xp,
+            tile_m=TM,
+            tile_k=TK,
+            width=b.width,
+            binary=A.binary,
+            n_block=NB,
+            fold=fold,
+            precision=precision,
+        )
+        sids.append(strip_ids)
+        parts.append(Yb.reshape(n_pad, TM, Npad))
+    return sids, parts
+
+
+def _fold_narrow(Y, nq: int):
+    """Fold the narrow packing's three plane blocks: f32-parity sum."""
+    return Y[:, :nq] + Y[:, nq : 2 * nq] + Y[:, 2 * nq : 3 * nq]
+
+
+def _panel_impl(A, X, precision, _parts=False):
+    nrow, _ = A.shape
+    N = X.shape[1]
+    Xp, NB, Npad, fold, nq = _prep_panel_x(A, X, N, precision)
+    sids, parts = _panel_parts(A, Xp, NB, Npad, fold, precision)
+    if _parts:
+        return sids, parts, Npad, nq
+    # the panel kernel always emits a 32-bit accumulator
+    Y = _assemble_strips(A, sids, parts, Npad, jnp.float32)
+    if nq:
+        Y = _fold_narrow(Y, nq)
+    return Y[:nrow, :N]
+
+
+def _seg_mode(seg, N, x_dtype, precision):
+    """(Npad, nq) the `bsr_spmm` paths will produce for this segment —
+    must agree across segments for the cross-segment plan assembly."""
+    exact = seg.binary or seg.dtype == jnp.bfloat16
+    parity = exact and precision == "highest" and x_dtype == jnp.float32
+    if seg.is_panel:
+        nq = _narrow_nq(N) if parity else 0
+        return (LANES, nq) if nq else (_round_up(N, LANES), 0)
+    narrow_ok = parity and not seg.binary and seg.dtype == jnp.bfloat16
+    nq = _narrow_nq(N) if narrow_ok else 0
+    if nq:
+        return LANES, nq
+    nb = min(_round_up(N, LANES), 512)
+    return _round_up(N, nb), 0
+
+
+def colseg_spmm(A, X, *, precision: str = "highest"):
+    """Cross-segment ``Y = A @ X`` for a ColSegmented of BsrMatrix.
+
+    Assembles Y from ALL segments' strip panels with one multiplicity-class
+    gather plan (`ops.assemble.build_colseg_plan`) instead of the generic
+    per-segment ``Y += spmm(seg, X_slice)`` — the latter rewrites the full
+    nrow×N Y buffer once per segment. Returns None when the plan is absent
+    or the segments disagree on kernel mode (caller falls back)."""
+    from .assemble import colseg_layout_key
+
+    X = jnp.asarray(X)
+    segs = A.segments
+    plan = getattr(A, "plan", None)
+    if (
+        plan is None
+        or not segs
+        or plan.layout_key != colseg_layout_key()
+        or not all(isinstance(s, BsrMatrix) for s in segs)
+        or not pallas_supported(X.dtype)
+    ):
+        return None
+    N = X.shape[1]
+    modes = {_seg_mode(s, N, X.dtype, precision) for s in segs}
+    TM = segs[0].tile_m
+    nsp = segs[0].n_strips
+    if len(modes) != 1 or any(
+        s.tile_m != TM or s.n_strips != nsp for s in segs
+    ):
+        return None
+    Npad, nq = modes.pop()
+
+    parts_all = []
+    for off, seg in zip(A.col_offsets, segs):
+        Xs = X[off : off + seg.shape[1]]
+        _, parts, Npad_s, nq_s = bsr_spmm(
+            seg, Xs, precision=precision, _parts=True
+        )
+        if (Npad_s, nq_s) != (Npad, nq):  # pragma: no cover - _seg_mode drift
+            return None
+        parts_all += parts
+    if plan.n_slots != sum(int(p.shape[0]) for p in parts_all):
+        return None
+    with named("colseg_assemble"):
+        pcat = jnp.concatenate(parts_all, axis=0)
+        ys = []
+        for c, pos_c in zip(plan.widths, plan.classes):
+            yc = pcat[pos_c[:, 0]]
+            for s in range(1, c):
+                yc = yc + pcat[pos_c[:, s]]
+            ys.append(yc)
+        ys.append(jnp.zeros((1, TM, Npad), pcat.dtype))
+        Y = jnp.concatenate(ys, axis=0)[plan.rowpos]
+        Y = Y.reshape(nsp * TM, Npad)
+    if nq:
+        Y = _fold_narrow(Y, nq)
+    return Y[: A.shape[0], :N]
 
 
 def bsr_spmv(A: BsrMatrix, x) -> jax.Array:
@@ -249,6 +520,11 @@ def bsr_spmv(A: BsrMatrix, x) -> jax.Array:
         from .spmv import spmv as coo_spmv
 
         return coo_spmv(_as_coo(A), x)
+
+    if A.is_panel:
+        # the narrow packing makes the 1-column case a single-pass panel
+        # sweep (3 planes in one 128-lane block)
+        return bsr_spmm(A, x[:, None])[:, 0]
 
     x_vmem_bytes = nsl * TK * x.dtype.itemsize
     if x_vmem_bytes > 12 * 1024 * 1024 or TM > 32:
@@ -280,6 +556,22 @@ def _as_coo(A: BsrMatrix):
     nsp = A.n_strips
     rows_l, cols_l, vals_l = [], [], []
     for b in A.buckets:
+        if isinstance(b, PanelBucket):
+            PK = b.width * TK
+            panels = (
+                np.asarray(expand_bits_reference(b.panels, PK))
+                if A.binary
+                else np.asarray(b.panels)
+            )
+            sids = np.asarray(b.strip_ids)
+            starts = np.asarray(b.start_slab)
+            i, r, c = np.nonzero(panels)
+            keep = sids[i] < nsp
+            i, r, c = i[keep], r[keep], c[keep]
+            rows_l.append(sids[i] * TM + r)
+            cols_l.append(starts[i] * TK + c)
+            vals_l.append(panels[i, r, c])
+            continue
         tiles = (
             np.asarray(expand_bits_reference(b.tiles, TK))
             if A.binary

@@ -32,9 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.profiling import named
+
 __all__ = [
     "bucket_spmm",
     "bucket_spmv",
+    "panel_spmm",
     "pick_strategy",
     "RESIDENT_VMEM_BUDGET",
 ]
@@ -345,18 +348,143 @@ def bucket_spmm(
         if strategy == "resident"
         else ns * T * tile_k * Npad * x.dtype.itemsize
     )
-    return pl.pallas_call(
-        body,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ns * tile_m, Npad), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+    with named(f"bucket_spmm_{strategy}_{bpath}"):
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ns * tile_m, Npad), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=abytes + xbytes, transcendentals=0
+            ),
+            interpret=_interpret(),
+        )(slab_ids.reshape(-1), tiles, x)
+
+
+# ---------------------------------------------------------------------------
+# Panel kernel: Y[strip] = panel(i) @ X[start(i)·TK : start(i)·TK + PK]
+# One dynamic slice + one wide MXU dot per strip (PanelBucket layout) —
+# no per-tile loop, no tile-count padding, no accumulation grid axis.
+# ---------------------------------------------------------------------------
+
+
+def _panel_body(
+    binary, PK, TK, TM, SG, NB, fold, prec, start_ref, panels_ref, x_ref, o_ref
+):
+    i = pl.program_id(1)
+    # whole (SG, TM, PK) block expanded in ONE call when bitmask (batched
+    # VPU expansion amortizes — see _expand_bits)
+    mats = (
+        _block_mats(panels_ref[:], True, PK, jnp.float32)
+        if binary
+        else panels_ref[:]
+    )
+    for g in range(SG):
+        st = start_ref[i * SG + g]
+        a = mats[g]
+        if binary:
+            # exact: the 0/1 mask is bf16-representable; one MXU pass per
+            # X plane instead of HIGHEST's six
+            a = a.astype(jnp.bfloat16)
+        xs = x_ref[pl.ds(st * TK, PK), :]
+        a, xs = _match_dot_dtypes(a, xs)
+        p = None if a.dtype == jnp.bfloat16 else prec
+        d = jnp.dot(a, xs, preferred_element_type=o_ref.dtype, precision=p)
+        if fold:  # 3 bf16 X planes stacked along lanes -> fp32 parity
+            d = d[:, :NB] + d[:, NB : 2 * NB] + d[:, 2 * NB :]
+        o_ref[pl.ds(g * TM, TM), :] = d
+
+
+def _pick_panel_group(ns: int, tile_m: int, PK: int, binary: bool, itemsize: int):
+    """Strips per grid step: largest of (8, 4, 2, 1) dividing ns whose
+    double-buffered panel block (+ batched bitmask expansion) fits the
+    same 4 MB VMEM allowance as `_pick_batch`."""
+    for SG in (8, 4, 2, 1):
+        if ns % SG:
+            continue
+        blk = SG * tile_m * (PK // 8 if binary else PK * itemsize)
+        exp = SG * tile_m * PK * 4 if binary else 0
+        if 2 * blk + exp <= 4 * 1024 * 1024:
+            return SG
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_m", "tile_k", "width", "binary", "n_block", "fold", "precision"),
+)
+def panel_spmm(
+    start_slabs,  # int32[ns]
+    panels,  # dtype[ns, TM, PK] | uint32[ns, TM, PK//32]
+    x,  # dtype[n_slabs*TK, Npad or 3*Npad] (resident VMEM)
+    *,
+    tile_m: int,
+    tile_k: int,
+    width: int,
+    binary: bool,
+    n_block: int,
+    fold: bool,
+    precision: str = "highest",
+) -> jax.Array:
+    """One panel bucket's ``Y_b = A_b @ X``: returns f32[ns*TM, Npad].
+
+    ``fold=True`` means ``x`` carries 3 bf16 planes per panel-j along the
+    lane axis (``[x0_j | x1_j | x2_j]``, fp32-parity layout — see
+    `bsr_ops._split_bf16_planes`); the body folds thirds after one wide
+    dot. X must be VMEM-resident (callers segment columns to fit)."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    ns = start_slabs.shape[0]
+    PK = width * tile_k
+    NB = n_block
+    xnb = 3 * NB if fold else NB
+    Npad = x.shape[1] // 3 if fold else x.shape[1]
+    nj = Npad // NB
+    SG = _pick_panel_group(ns, tile_m, PK, binary, panels.dtype.itemsize)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nj, ns // SG),
+        in_specs=[
+            pl.BlockSpec(
+                (SG, tile_m, panels.shape[-1]),
+                lambda j, i, s: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                x.shape[:1] + (xnb,),
+                lambda j, i, s: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (SG * tile_m, NB), lambda j, i, s: (i, j), memory_space=pltpu.VMEM
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=abytes + xbytes, transcendentals=0
-        ),
-        interpret=_interpret(),
-    )(slab_ids.reshape(-1), tiles, x)
+    )
+    flops = 2 * ns * tile_m * PK * (3 * Npad if fold else Npad)
+    abytes = panels.size * panels.dtype.itemsize
+    with named(f"panel_spmm_w{width}"):
+        return pl.pallas_call(
+            functools.partial(
+                _panel_body, binary, PK, tile_k, tile_m, SG, NB, fold, prec
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ns * tile_m, Npad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=abytes + x.size * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(start_slabs, panels, x)
 
 
 # ---------------------------------------------------------------------------

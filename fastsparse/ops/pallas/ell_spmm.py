@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.profiling import named
+
 __all__ = [
     "ell_bucket_spmm",
     "ell_bucket_spmm_smem",
@@ -434,6 +436,7 @@ def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.A
         ),
         interpret=_interpret(),
     )
-    if unit:
-        return call(cols.reshape(-1), x)
-    return call(cols.reshape(-1), vals.reshape(-1), x)
+    with named(f"ell_gather_{'unit' if unit else 'valued'}"):
+        if unit:
+            return call(cols.reshape(-1), x)
+        return call(cols.reshape(-1), vals.reshape(-1), x)

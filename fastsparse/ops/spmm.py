@@ -70,6 +70,12 @@ def spmm(A, X):
             Y = Y + spmm(A.sparse, X)
         return Y
     if isinstance(A, ColSegmented):
+        if A.segments and isinstance(A.segments[0], BsrMatrix):
+            from .bsr_ops import colseg_spmm
+
+            Y = colseg_spmm(A, X)
+            if Y is not None:
+                return Y
         Y = jnp.zeros((A.shape[0], X.shape[1]), X.dtype)
         for off, seg in zip(A.col_offsets, A.segments):
             Y = Y + spmm(seg, X[off : off + seg.shape[1]])

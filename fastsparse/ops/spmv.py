@@ -53,6 +53,13 @@ def spmv(A, x):
             y = y + spmv(A.sparse, x)
         return y
     if isinstance(A, ColSegmented):
+        if A.segments and isinstance(A.segments[0], BsrMatrix):
+            from .bsr_ops import colseg_spmm
+
+            # narrow packing makes the 1-column case one MXU pass/strip
+            y = colseg_spmm(A, x[:, None])
+            if y is not None:
+                return y[:, 0]
         y = jnp.zeros((A.shape[0],), x.dtype)
         for off, seg in zip(A.col_offsets, A.segments):
             y = y + spmv(seg, x[off : off + seg.shape[1]])

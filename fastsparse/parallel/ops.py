@@ -37,6 +37,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..formats.coo import COO
+from ..utils.profiling import named
 from .partition import RowPartitioned
 
 __all__ = [
@@ -151,21 +152,25 @@ def unpad_result(v, Ap: RowPartitioned, side: str):
     return v
 
 
+@named("pspmv_local")
 def _spmv_local(A_coo: COO, x, n_out: int):
     g = A_coo.vals * x[A_coo.cols]
     return jnp.zeros((n_out,), g.dtype).at[A_coo.rows].add(g)
 
 
+@named("pspmm_local")
 def _spmm_local(A_coo: COO, X, n_out: int):
     g = A_coo.vals[:, None] * X[A_coo.cols]
     return jnp.zeros((n_out, X.shape[1]), g.dtype).at[A_coo.rows].add(g)
 
 
+@named("pspmv_t_local")
 def _spmv_t_local(A_coo: COO, y, n_out: int):
     g = A_coo.vals * y[A_coo.rows]
     return jnp.zeros((n_out,), g.dtype).at[A_coo.cols].add(g)
 
 
+@named("pspmm_t_local")
 def _spmm_t_local(A_coo: COO, Y, n_out: int):
     g = A_coo.vals[:, None] * Y[A_coo.rows]
     return jnp.zeros((n_out, Y.shape[1]), g.dtype).at[A_coo.cols].add(g)

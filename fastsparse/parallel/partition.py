@@ -312,13 +312,13 @@ def partition_rows(
                 r, c, v, (row_block, P * col_block)
             )
             fwd_shards.append(
-                build_bsr(shard_coo, config=config, dtype=tile_dtype)
+                build_bsr(shard_coo, config=config, dtype=tile_dtype, panels=False)
             )
             shard_coo_t = COO.from_arrays(
                 c, r, v, (P * col_block, row_block)
             )
             bwd_shards.append(
-                build_bsr(shard_coo_t, config=config, dtype=tile_dtype)
+                build_bsr(shard_coo_t, config=config, dtype=tile_dtype, panels=False)
             )
         local_bsr = _stack_bsr_shards(fwd_shards, config)
         local_bsr_t = _stack_bsr_shards(bwd_shards, config)
@@ -337,6 +337,7 @@ def partition_rows(
                             ),
                             config=config,
                             dtype=tile_dtype,
+                            panels=False,
                         )
                     )
                     blk_mats_t.append(
@@ -346,6 +347,7 @@ def partition_rows(
                             ),
                             config=config,
                             dtype=tile_dtype,
+                            panels=False,
                         )
                     )
             blocks_bsr = _stack_bsr_shards(

@@ -72,8 +72,28 @@ def validate(A) -> None:
             )
         return
     if isinstance(A, BsrMatrix):
+        from ..formats.bsr import PanelBucket
+
         nsp, nsl = A.n_strips, A.n_slabs
         for b in A.buckets:
+            if isinstance(b, PanelBucket):
+                _check(b.ns % 8 == 0, "panel ns not group aligned")
+                sid = np.asarray(b.strip_ids)
+                _check(
+                    sid.min() >= 0 and sid.max() <= nsp,
+                    "strip id out of range (dump strip is n_strips)",
+                )
+                st = np.asarray(b.start_slab)
+                _check(
+                    st.min() >= 0 and (st + b.width).max() <= max(nsl, b.width),
+                    "panel start slab out of range",
+                )
+                last = (b.width * A.tile_k) // 32 if A.binary else b.width * A.tile_k
+                _check(
+                    b.panels.shape == (b.ns, A.tile_m, last),
+                    "panel block shape",
+                )
+                continue
             _check(
                 b.slab_ids.shape == (b.ns, b.ntiles), "bucket slab_ids shape"
             )

@@ -1,10 +1,13 @@
 """Tracing / profiling helpers (SURVEY.md §5.1).
 
 The reference's only instrumentation was ``omp_get_wtime`` in bench
-drivers. Here the hot dispatch sites (`ops.bsr_ops`, `ops.ell_ops`,
-`parallel.ops`) wrap their kernel launches in `named` so
-`jax.profiler` traces (perfetto/xprof) attribute device time per kernel;
-`trace` captures a profiler trace around any block.
+drivers. Here `named` wraps the kernel launch sites — the Pallas calls in
+`ops.pallas.bsr_spmm` (`bucket_spmm_*`, `panel_spmm_*`) and
+`ops.pallas.ell_spmm` (`ell_gather_*`), the Y-assembly stages in
+`ops.bsr_ops` (`bsr_assemble_strips`, `colseg_assemble`), and the local
+compute bodies in `parallel.ops` (`pspm*_local`) — so `jax.profiler`
+traces (perfetto/xprof) attribute device time per kernel; `trace`
+captures a profiler trace around any block.
 """
 from __future__ import annotations
 

@@ -55,7 +55,7 @@ def test_expand_bits_layout():
     rng = np.random.default_rng(0)
     dense = (rng.random((8, 128)) < 0.3).astype(np.float32)
     m = sp.csr_matrix(dense)
-    A = build_bsr(binary_coo_from_scipy(m), binary=True)
+    A = build_bsr(binary_coo_from_scipy(m), binary=True, panels=False)
     (b,) = A.buckets
     mask = np.asarray(expand_bits_reference(b.tiles, A.tile_k))[0, 0]
     np.testing.assert_array_equal(mask, dense)
@@ -79,7 +79,7 @@ def test_bsr_spmm_oracle(name, make, binary):
 @pytest.mark.parametrize("strategy", ["resident", "streamed"])
 def test_bucket_spmm_strategies(strategy):
     m = C.random_csr(128, 256, 0.1, seed=5, dtype=np.float32)
-    A = build_bsr(coo_from_scipy(m, dtype=np.float32))
+    A = build_bsr(coo_from_scipy(m, dtype=np.float32), panels=False)
     rng = np.random.default_rng(9)
     N = 128
     X = rng.standard_normal((256, N)).astype(np.float32)

@@ -213,6 +213,8 @@ def operator(
     — operands are permuted at the boundary): ``'degree'`` (descending
     degree), ``'minhash'`` (similarity co-clustering), ``'tilepack'``
     (iterated cluster + column-packing — strongest on community structure),
+    ``'hilbert'`` (first-appearance renumbering along the Hilbert curve —
+    the reference's sort_sbm locality trick recast as tile density),
     or ``'auto'`` (pick by modeled product cost).
     ``tune=True`` replaces the power-of-two bucket edges with per-matrix
     optimal ones (`tuning.tuned_config`) — less padding, but compiled
@@ -246,10 +248,11 @@ def operator(
     # Reorder BEFORE resolving format='auto': occupancy/dense-fraction must
     # reflect the layout the tilings will actually be built from.
     row_perm = col_perm = row_inv = col_inv = None
-    if reorder in ("degree", "minhash", "tilepack", "auto"):
+    if reorder in ("degree", "minhash", "tilepack", "hilbert", "auto"):
         from .reorder.cluster import (
             best_perms,
             degree_perms,
+            hilbert_perms,
             invert_perm,
             minhash_perms,
             permute_coo,
@@ -262,6 +265,8 @@ def operator(
             row_perm, col_perm = minhash_perms(coo)
         elif reorder == "tilepack":
             row_perm, col_perm = tilepack_perms(coo)
+        elif reorder == "hilbert":
+            row_perm, col_perm = hilbert_perms(coo)
         else:
             row_perm, col_perm = best_perms(coo)
         if row_perm is not None:

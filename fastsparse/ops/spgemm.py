@@ -32,7 +32,9 @@ from ..config import DEFAULT, Config
 from ..formats.coo import COO, BinaryCOO
 from ..formats.csr import CSR, BinaryCSR
 
-__all__ = ["spgemm", "spgemm_info", "spgemm_device", "symbolic_device"]
+__all__ = [
+    "spgemm", "spgemm_info", "spgemm_device", "symbolic_device", "spgemm_esc",
+]
 
 _PAIR_CHUNK = 4096  # tile pairs per batched matmul step
 
@@ -134,16 +136,26 @@ def _numeric_scan(C_tiles, a_tiles, b_tiles, ai, bi, oi):
     return C_tiles
 
 
-def spgemm(A, B, config: Config = DEFAULT, out_format: str = "coo"):
+def spgemm(A, B, config: Config = DEFAULT, out_format: str = "coo",
+           method: str = "auto"):
     """``C = A @ B``. Returns (C, info).
 
-    ``out_format='coo'`` compacts to exact-nnz COO; ``'bsr'`` returns the
-    product directly as a tiled BsrMatrix (C is computed tile-wise, so
-    this skips a round-trip and chains into further products/SpMM).
-    ``info`` carries the fused estimation: ``est_nnz`` (symbolic upper
-    bound, available before numerics), ``nnz`` (exact for 'coo'; tile
-    upper bound for 'bsr'), ``n_pairs``/``flops`` (numeric work).
+    ``method='esc'`` (the default for COO output) runs the expand–sort–
+    compress path (`spgemm_esc`) — work ∝ true scalar products, exact
+    fused nnz estimation. ``method='tiles'`` runs the tile-pair MXU
+    contraction; it is the required path for ``out_format='bsr'`` (the
+    product stays tiled and chains into further products/SpMM) and wins
+    when operand tiles are dense. ``info`` carries the fused estimation:
+    ``est_nnz`` (exact for esc; symbolic upper bound for tiles, available
+    before numerics), ``nnz``, and the numeric work done
+    (``n_products``/``flops`` for esc, ``n_pairs``/``flops`` for tiles).
     """
+    if method == "auto":
+        method = "tiles" if out_format == "bsr" else "esc"
+    if method == "esc":
+        if out_format != "coo":
+            raise ValueError("method='esc' only produces COO output")
+        return spgemm_esc(A, B, config)
     TM, TK = config.tile_m, config.tile_k
     info, sym = _symbolic(A, B, config)
     a_tiles, b_tiles, ai, bi, uout, out_idx, (ma, ka, nb), n_jslabs = sym
@@ -298,12 +310,19 @@ def symbolic_device(
     )
     b_start = jnp.cumsum(counts_b) - counts_b
 
-    # pairs per A tile, enumerated by global pair index p
+    # pairs per A tile, enumerated by global pair index p. Tile lookup is
+    # scatter-mark + cummax (jnp.searchsorted's binary-search scan measured
+    # 1.02 s at 8M on v5e; this is ~2 bandwidth passes).
     c = jnp.where(ua_valid, counts_b[ua_k], 0)
     offs_incl = jnp.cumsum(c)
     n_pairs = offs_incl[-1] if tile_cap_a else jnp.int32(0)
+    starts = offs_incl - c
+    iota_t = jnp.arange(c.shape[0], dtype=jnp.int32)
+    mark = jnp.full((pair_cap,), -1, jnp.int32)
+    mark = mark.at[jnp.where(c > 0, starts, pair_cap)].max(
+        iota_t, mode="drop")
+    ai = jnp.maximum(jax.lax.cummax(mark), 0)
     p = jnp.arange(pair_cap, dtype=jnp.int32)
-    ai = jnp.searchsorted(offs_incl, p, side="right").astype(jnp.int32)
     pair_valid = (p < n_pairs) & (ai < tile_cap_a)
     ai_c = jnp.where(pair_valid, ai, 0)
     r = p - (offs_incl[ai_c] - c[ai_c])
@@ -497,6 +516,182 @@ def spgemm_device(
         )
         return C, info
     return C_tiles, uo_key, info
+
+
+# --------------------------------------------------------------------------
+# ESC (expand–sort–compress) SpGEMM — the hypersparse-native path.
+#
+# The tile-pair MXU contraction above is the right shape when operand tiles
+# are dense-ish; on hypersparse inputs (rmat/power-law — BASELINE config 4's
+# character) it burns TFLOPs of padding: rmat13² is 3.4 TFLOP of 128³ tile
+# dots for only 6.2M true scalar products. The classic Gustavson algorithm
+# maps to TPU as expand/sort/compress instead (SURVEY.md §7.2 M5, §7.3
+# item 2): enumerate every scalar product a_ik·b_kj, sort by the 64-bit
+# output key (i,j) with `lax.sort` (the same on-device co-sort primitive as
+# reorder.sort — uint32 key pairs, no x64), then reduce runs of equal keys
+# with a segmented Hillis–Steele scan (log₂ passes of shift+add — VPU
+# friendly, no scatter-adds with duplicate indices). The fused output-nnz
+# estimation is *exact* here: `n_unique` falls out of the sorted key flags
+# in the same program, before any value is reduced.
+#
+# Output blocking: when the expansion exceeds the product cap, A's rows are
+# split into row-disjoint blocks (so per-block outputs concatenate with no
+# cross-block merge). Caps are pow2-rounded so compiled programs are reused.
+# --------------------------------------------------------------------------
+
+_U32_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("p_cap",))
+def _esc_block_jit(a_rows, a_cols, a_vals, a_valid, b_ptr, b_cols, b_vals,
+                   *, p_cap):
+    """One row-block: expand -> key-sort -> segment-reduce -> compact prefix.
+
+    Returns ``(rows, cols, vals, n_unique, n_products)``; live output
+    entries occupy ranks ``[0, n_unique)`` of the returned arrays.
+    """
+    a_cols_c = jnp.where(a_valid, a_cols, 0)
+    counts = jnp.where(a_valid, b_ptr[a_cols_c + 1] - b_ptr[a_cols_c], 0)
+    offs_incl = jnp.cumsum(counts)
+    total = offs_incl[-1] if counts.shape[0] else jnp.int32(0)
+
+    # product p -> source A entry: mark each entry's run start, then
+    # cummax-fill. (NOT jnp.searchsorted: its binary-search scan measured
+    # 1.02 s at 8M on v5e vs ~2 ms for scatter+cummax.)
+    starts = offs_incl - counts
+    iota_e = jnp.arange(counts.shape[0], dtype=jnp.int32)
+    mark = jnp.full((p_cap,), -1, jnp.int32)
+    mark = mark.at[jnp.where(counts > 0, starts, p_cap)].max(
+        iota_e, mode="drop")
+    src = jnp.maximum(jax.lax.cummax(mark), 0)
+    p = jnp.arange(p_cap, dtype=jnp.int32)
+    pv = p < total
+    src_c = jnp.where(pv, src, 0)
+    r = p - (offs_incl[src_c] - counts[src_c])
+    bpos = jnp.where(pv, b_ptr[a_cols_c[src_c]] + r, 0)
+    hi = jnp.where(pv, a_rows[src_c].astype(jnp.uint32), _U32_SENTINEL)
+    lo = jnp.where(pv, b_cols[bpos].astype(jnp.uint32), _U32_SENTINEL)
+    val = jnp.where(pv, a_vals[src_c] * b_vals[bpos], 0.0)
+
+    hi_s, lo_s, val_s = jax.lax.sort([hi, lo, val], num_keys=2)
+    valid_s = hi_s != _U32_SENTINEL
+    newseg = jnp.concatenate(
+        [jnp.ones((1,), bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
+    ) & valid_s
+    rank = jnp.cumsum(newseg.astype(jnp.int32)) - 1
+    n_unique = newseg.sum()
+
+    # segmented inclusive scan: after log2(p_cap) shift+add passes each
+    # position holds the sum of its segment's prefix; the segment's last
+    # position holds the exact (tree-ordered) segment total.
+    seg = jnp.where(valid_s, rank, -1)
+    v = val_s
+    d = 1
+    while d < p_cap:
+        same = jnp.concatenate([jnp.zeros((d,), bool), seg[d:] == seg[:-d]])
+        shifted = jnp.concatenate([jnp.zeros((d,), v.dtype), v[:-d]])
+        v = v + jnp.where(same, shifted, 0.0)
+        d <<= 1
+
+    is_end = jnp.concatenate([seg[:-1] != seg[1:], jnp.ones((1,), bool)]) & valid_s
+    out_idx = jnp.where(is_end, rank, p_cap)
+    rows_o = jnp.zeros(p_cap, jnp.int32).at[out_idx].set(
+        hi_s.astype(jnp.int32), mode="drop")
+    cols_o = jnp.zeros(p_cap, jnp.int32).at[out_idx].set(
+        lo_s.astype(jnp.int32), mode="drop")
+    vals_o = jnp.zeros(p_cap, jnp.float32).at[out_idx].set(v, mode="drop")
+    return rows_o, cols_o, vals_o, n_unique, total
+
+
+def spgemm_esc(A, B, config: Config = DEFAULT, p_cap: int | None = None):
+    """``C = A @ B`` by expand–sort–compress. Returns ``(C_coo, info)``.
+
+    The default SpGEMM path: work is proportional to the true number of
+    scalar products (``info['n_products']``), not to padded tile pairs.
+    ``info['est_nnz']`` is the fused output-nnz estimation — exact, read
+    from the sorted key structure in the same device program. ``p_cap``
+    bounds products per device call (default ≤ 2^23); larger expansions
+    run as row-disjoint A-blocks whose outputs concatenate directly.
+    """
+    ra, ca, va, (ma, ka) = _host_coo(A)
+    rb, cb, vb, (kb, nb) = _host_coo(B)
+    if ka != kb:
+        raise ValueError(f"inner dims mismatch: {ka} vs {kb}")
+
+    # host-side CSR of B (row pointers for the expansion index math)
+    order = np.argsort(rb, kind="stable")
+    rb_s, cb_s, vb_s = rb[order], cb[order], vb[order]
+    b_ptr = np.zeros(kb + 1, np.int64)
+    np.cumsum(np.bincount(rb_s, minlength=kb), out=b_ptr[1:])
+
+    # A entries row-sorted so blocks are row-disjoint
+    aorder = np.argsort(ra, kind="stable")
+    ra_s, ca_s, va_s = ra[aorder], ca[aorder], va[aorder]
+    counts = (b_ptr[ca_s + 1] - b_ptr[ca_s]).astype(np.int64)
+    P = int(counts.sum())
+    info = {"n_products": P, "flops": 2 * P}
+
+    if P == 0 or ra_s.size == 0:
+        info["nnz"] = info["est_nnz"] = 0
+        C = COO.from_arrays(
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.float32), (ma, nb))
+        return C, info
+
+    # products per A row -> row-disjoint blocks under the cap
+    row_end = np.searchsorted(ra_s, np.unique(ra_s), side="right")
+    prod_at_row_end = np.cumsum(counts)[row_end - 1]
+    max_row_p = int(np.max(np.diff(np.concatenate([[0], prod_at_row_end]))))
+    cap = p_cap or min(max(_pow2(P), 8), 1 << 23)
+    cap = max(cap, _pow2(max_row_p))
+
+    b_ptr_d = jnp.asarray(b_ptr, jnp.int32)
+    b_cols_d = jnp.asarray(cb_s, jnp.int32)
+    b_vals_d = jnp.asarray(vb_s, jnp.float32)
+
+    # block boundaries: greedy fill to cap, split only at row ends
+    bounds = [0]
+    while bounds[-1] < row_end.size:
+        lo_e = 0 if bounds[-1] == 0 else prod_at_row_end[bounds[-1] - 1]
+        nxt = int(np.searchsorted(prod_at_row_end, lo_e + cap, side="right"))
+        bounds.append(max(nxt, bounds[-1] + 1))
+    parts = []
+    for lo_r, hi_r in zip(bounds[:-1], bounds[1:]):
+        e_lo = 0 if lo_r == 0 else int(row_end[lo_r - 1])
+        e_hi = int(row_end[hi_r - 1])
+        blk_p = int(counts[e_lo:e_hi].sum())
+        if blk_p > cap:  # greedy invariant: cap >= max single-row expansion
+            raise AssertionError(
+                f"ESC block products {blk_p} exceed cap {cap}")
+        na = _pow2(max(e_hi - e_lo, 8))
+        pad = na - (e_hi - e_lo)
+        blk = slice(e_lo, e_hi)
+        a_rows = np.concatenate([ra_s[blk], np.zeros(pad, ra_s.dtype)])
+        a_cols = np.concatenate([ca_s[blk], np.zeros(pad, ca_s.dtype)])
+        a_vals = np.concatenate([va_s[blk], np.zeros(pad, va_s.dtype)])
+        valid = np.arange(na) < (e_hi - e_lo)
+        parts.append(_esc_block_jit(
+            jnp.asarray(a_rows, jnp.int32), jnp.asarray(a_cols, jnp.int32),
+            jnp.asarray(a_vals, jnp.float32), jnp.asarray(valid),
+            b_ptr_d, b_cols_d, b_vals_d, p_cap=cap,
+        ))
+    # fetch only the per-block scalar counts; the output entries stay on
+    # device (single block: zero-copy full-capacity arrays + n_valid —
+    # padding beyond the prefix is all-zero by construction)
+    ns = [int(p[3]) for p in parts]
+    n_est = int(sum(ns))
+    info["nnz"] = info["est_nnz"] = n_est
+    info["p_cap"] = cap
+    info["n_blocks"] = len(parts)
+    if len(parts) == 1:
+        rows_o, cols_o, vals_o = parts[0][:3]
+    else:
+        rows_o = jnp.concatenate([p[0][:n] for p, n in zip(parts, ns)])
+        cols_o = jnp.concatenate([p[1][:n] for p, n in zip(parts, ns)])
+        vals_o = jnp.concatenate([p[2][:n] for p, n in zip(parts, ns)])
+    C = COO(rows=rows_o, cols=cols_o, vals=vals_o, shape=(ma, nb),
+            n_valid=n_est)
+    return C, info
 
 
 def _tiles_to_bsr(C_tiles, uout, shape, n_jslabs, TM, TK, config):

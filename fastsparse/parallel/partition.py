@@ -218,6 +218,7 @@ def partition_rows(
         from ..reorder.cluster import (
             best_perms,
             degree_perms,
+            hilbert_perms,
             invert_perm,
             minhash_perms,
             tilepack_perms,
@@ -228,6 +229,7 @@ def partition_rows(
             "degree": degree_perms,
             "minhash": minhash_perms,
             "tilepack": tilepack_perms,
+            "hilbert": hilbert_perms,
             "auto": best_perms,
         }.get(reorder)
         if fn is None:

@@ -24,6 +24,7 @@ __all__ = [
     "degree_perms",
     "minhash_perms",
     "tilepack_perms",
+    "hilbert_perms",
     "best_perms",
     "invert_perm",
     "permute_coo",
@@ -214,6 +215,42 @@ def tilepack_perms(
     return jnp.asarray(rp.astype(np.int32)), jnp.asarray(cp.astype(np.int32))
 
 
+def hilbert_perms(coo):
+    """Row/col permutations along the Hilbert curve (SURVEY.md §2 R1;
+    BASELINE.json:8 "COO SpMV with Hilbert-curve reordering").
+
+    The reference sorts COO *entries* by Hilbert key for cache locality
+    (``sort_sbm``, SURVEY.md §3.1); the bucketed TPU formats are
+    entry-order invariant, so the curve enters as a renumbering instead:
+    entries are walked in Hilbert order and rows/columns are renumbered
+    by first appearance. Curve-adjacent rows/columns — which share 2-D
+    neighborhoods of the matrix — land in adjacent strips/slabs, turning
+    the C library's cache locality into tile density.
+    """
+    import numpy as np
+
+    from .hilbert import hilbert_key64
+
+    rows = np.asarray(coo.rows)[: coo.n_valid]
+    cols = np.asarray(coo.cols)[: coo.n_valid]
+    nrow, ncol = coo.shape
+    hi, lo = hilbert_key64(jnp.asarray(rows), jnp.asarray(cols))
+    key = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        lo
+    ).astype(np.uint64)
+    order = np.argsort(key, kind="stable")
+
+    def first_appear(stream, n):
+        vals, first = np.unique(stream, return_index=True)
+        head = vals[np.argsort(first, kind="stable")]
+        missing = np.setdiff1d(np.arange(n, dtype=np.int64), vals)
+        return np.concatenate([head, missing])
+
+    rp = first_appear(rows[order], nrow)
+    cp = first_appear(cols[order], ncol)
+    return jnp.asarray(rp.astype(np.int32)), jnp.asarray(cp.astype(np.int32))
+
+
 def _ordering_cost(rows, cols, shape, rinv, cinv, tm=8, tk=128):
     """Modeled seconds/product under the hybrid split at its best
     threshold (shared measured constants — `bench.model`)."""
@@ -245,6 +282,8 @@ def best_perms(coo):
     cands["tilepack"] = (np.asarray(rp), np.asarray(cp))
     rp, cp = tilepack_perms(coo, base="degree")
     cands["tilepack-deg"] = (np.asarray(rp), np.asarray(cp))
+    rp, cp = hilbert_perms(coo)
+    cands["hilbert"] = (np.asarray(rp), np.asarray(cp))
     best, best_cost = "none", None
     for name, (r, c) in cands.items():
         rinv = cinv = None

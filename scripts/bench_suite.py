@@ -93,7 +93,8 @@ def tpu_configs():
     if op is not None:
         x = jnp.asarray(rng.standard_normal(20_000), jnp.float32)
         f = jax.jit(lambda op, x: op.matvec(x))
-        rel = check(f(op, x), m @ np.asarray(x), 2e-4, "spmv-powerlaw")
+        # FULL-output parity at the BASELINE fp32 bar (BASELINE.json:5)
+        rel = check(f(op, x), m @ np.asarray(x), 1e-6, "spmv-powerlaw")
         dt = time_fn(f, op, x, reps=10)
         sol = spmv_sol_seconds(*m.shape, m.nnz, bw, binary=False)
         record(
@@ -116,14 +117,19 @@ def tpu_configs():
         binary = bool((mat.data == 1).all())
         op = fs.operator(mat, reorder="auto", transpose=False)
         fmt = type(op.fwd).__name__
+        # parity bar: BASELINE fp32 rtol 1e-6; the gather engine's long
+        # power-law rows (rmat s18 hubs reach ~1e4 nnz) accumulate in f32,
+        # whose depth-bounded error exceeds 1e-6 vs the fp64 oracle — those
+        # configs assert at 1e-5 with the measured rel reported alongside.
+        bar = 1e-5 if name.startswith("rmat") else 1e-6
         for n_rhs in (32, 128):
             X = jnp.asarray(
                 rng.standard_normal((mat.shape[1], n_rhs)), jnp.float32
             )
             f = jax.jit(lambda op, X: op.matmat(X))
-            ref = mat[:512] @ np.asarray(X)
-            got = np.asarray(f(op, X))[:512]
-            rel = check(got, ref, 2e-4, f"spmm-{name}")
+            ref = (mat @ np.asarray(X).astype(np.float64))
+            got = np.asarray(f(op, X))
+            rel = check(got, ref, bar, f"spmm-{name}")
             dt = time_fn(f, op, X, reps=10)
             sol = spmm_sol_seconds(*mat.shape, mat.nnz, n_rhs, bw, binary=binary)
             record(
@@ -140,36 +146,108 @@ def tpu_configs():
                 },
             )
 
-    # BASELINE config 4: SpGEMM with fused nnz estimation
-    if not want("4"):
-        return
-    A = rmat(13, 8, seed=5, binary=False)
-    B = rmat(13, 8, seed=6, binary=False)
-    t0 = time.perf_counter()
-    C, info = fs.spgemm(A, B)
-    cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    C, info = fs.spgemm(A, B)  # warm: device compiles cached (the
-    # host symbolic join still runs every call and is part of warm cost)
-    dt = time.perf_counter() - t0
-    ref = A @ B
-    # f32 cancellation can zero a handful of entries that scipy's f64 keeps
-    assert abs(info["nnz"] - ref.nnz) <= max(16, ref.nnz // 10_000)
-    got = np.asarray(C.to_scipy().tocsr()[:256].toarray())
-    check(got, ref[:256].toarray(), 1e-4, "spgemm")
-    record(
-        "4 SpGEMM rmat13 x rmat13",
-        "spgemm_flops_per_s",
-        info["flops"] / dt,
-        "FLOP/s",
-        {
-            "s": round(dt, 2),
-            "cold_s": round(cold, 2),
-            "nnz_out": info["nnz"],
-            "est_nnz": info["est_nnz"],
-            "pairs": info["n_pairs"],
-        },
-    )
+    # SpMV + narrow multi-RHS on the blocked headline matrix — the
+    # reference's keystone kernels A_mul_B / bcsr_A_mul_B2/4/n (SURVEY.md
+    # §2 R5, §3.3); BASELINE.json:5's per-chip target is SpMV sol_frac.
+    if want("3v"):
+        mat = banded(50_000, 512, seed=4)
+        mat.data[:] = 1.0
+        op = fs.operator(mat, format="bsr", transpose=False)
+        fmt = type(op.fwd).__name__
+        x = jnp.asarray(rng.standard_normal(mat.shape[1]), jnp.float32)
+        f1 = jax.jit(lambda op, x: op.matvec(x))
+        rel = check(f1(op, x), mat @ np.asarray(x).astype(np.float64),
+                    1e-6, "spmv-banded")
+        dt = time_fn(f1, op, x, reps=20)
+        sol = spmv_sol_seconds(*mat.shape, mat.nnz, bw, binary=True)
+        record(
+            "3 SpMV banded 50k bw512", "spmv_nnz_per_s", mat.nnz / dt,
+            "nnz/s",
+            {"ms": round(dt * 1e3, 3), "rel_err": rel,
+             "sol_frac": round(sol / dt, 4), "format": fmt},
+        )
+        for n_rhs in (2, 4, 8, 32):
+            X = jnp.asarray(
+                rng.standard_normal((mat.shape[1], n_rhs)), jnp.float32)
+            f = jax.jit(lambda op, X: op.matmat(X))
+            rel = check(np.asarray(f(op, X)),
+                        mat @ np.asarray(X).astype(np.float64),
+                        1e-6, f"spmm-narrow-{n_rhs}")
+            dt = time_fn(f, op, X, reps=20)
+            sol = spmm_sol_seconds(*mat.shape, mat.nnz, n_rhs, bw, binary=True)
+            record(
+                f"3 SpMM banded 50k narrow N={n_rhs}", "spmm_nnz_per_s",
+                mat.nnz / dt, "nnz/s",
+                {"ms": round(dt * 1e3, 3), "rel_err": rel,
+                 "sol_frac": round(sol / dt, 4), "format": fmt},
+            )
+        # the Macau/SMURFF consumer shape (SURVEY.md §3.3): one CG-normal
+        # step AᵀA·X + reg·X over the dual tilings, N=32 latent factors
+        opn = fs.operator(mat, format="bsr", transpose=True)
+        Xl = jnp.asarray(
+            rng.standard_normal((mat.shape[1], 32)), jnp.float32)
+        fn = jax.jit(lambda op, X: op.normal_matmat(X, reg=0.5))
+        refn = mat.T @ (mat @ np.asarray(Xl).astype(np.float64)) \
+            + 0.5 * np.asarray(Xl)
+        rel = check(np.asarray(fn(opn, Xl)), refn, 1e-5, "cg-normal-step")
+        dt = time_fn(fn, opn, Xl, reps=10)
+        record(
+            "3 AtA·X normal step banded 50k N=32", "normal_step_nnz_per_s",
+            2 * mat.nnz / dt, "nnz/s",
+            {"ms": round(dt * 1e3, 3), "rel_err": rel,
+             "note": "two SpMM passes over dual tilings + reg axpy"},
+        )
+
+    # BASELINE config 4: SpGEMM with fused output-nnz estimation.
+    # Default path is ESC (expand-sort-compress): exact est_nnz, work
+    # proportional to true scalar products. cage12/webbase-1M stand-ins
+    # are structurally matched offline proxies at the real sizes
+    # (no network: BASELINE.json:10's SuiteSparse files are unreachable).
+    cases4 = []
+    if want("4"):
+        cases4.append(
+            ("rmat13 x rmat13",
+             rmat(13, 8, seed=5, binary=False),
+             rmat(13, 8, seed=6, binary=False)))
+    if want("4c"):
+        # cage12: n=130228, nnz 2.03M, banded DNA-graph structure,
+        # mean degree 15.6 -> banded proxy at the real size/degree
+        Ac = banded(130_228, 64, seed=11, density=0.273)
+        cases4.append(("cage12-proxy^2", Ac, Ac))
+    if want("4w"):
+        # webbase-1M: n=1000005, nnz 3.1M, power-law web graph
+        Aw = powerlaw(1_000_005, 1_000_005, 3_105_536, seed=12)
+        cases4.append(("webbase1M-proxy^2", Aw, Aw))
+    for name, A, B in cases4:
+        # outputs stay on device; a checksum fetch inside the timed region
+        # forces completion (block_until_ready is a no-op via the tunnel)
+        t0 = time.perf_counter()
+        C, info = fs.spgemm(A, B)
+        chk = float(jnp.sum(C.vals))
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        C, info = fs.spgemm(A, B)  # warm: device compiles cached
+        chk = float(jnp.sum(C.vals))  # noqa: F841
+        dt = time.perf_counter() - t0
+        ref = (A @ B).tocsr()
+        assert info["nnz"] == ref.nnz, (info["nnz"], ref.nnz)  # exact
+        got = C.to_scipy().tocsr()
+        d = np.abs(got - ref)
+        rel = float(d.max() / (np.abs(ref).max() + 1e-30)) if d.nnz else 0.0
+        assert rel <= 1e-5, f"spgemm {name}: rel {rel:.2e}"
+        record(
+            f"4 SpGEMM {name}", "spgemm_products_per_s",
+            info["n_products"] / dt, "products/s",
+            {
+                "s": round(dt, 3),
+                "cold_s": round(cold, 2),
+                "nnz_out": info["nnz"],
+                "est_nnz": info["est_nnz"],
+                "products": info["n_products"],
+                "rel_err": rel,
+                "blocks": info.get("n_blocks", 1),
+            },
+        )
 
 
 def main():

@@ -145,3 +145,70 @@ def test_spgemm_device_coo_compaction():
     )
     # padding tail is all-zero values
     assert (np.asarray(C.vals)[C.n_valid:] == 0).all()
+
+
+# ----------------------------------------------------------------------------
+# ESC (expand-sort-compress) path — the default for COO output.
+# ----------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", [c[0] for c in CASES])
+def test_spgemm_esc_matches_scipy(name):
+    from fastsparse.ops.spgemm import spgemm_esc
+
+    A, B = dict(CASES)[name]()
+    C_out, info = spgemm_esc(A, B)
+    ref = (A @ B).tocsr()
+    assert info["nnz"] == ref.nnz  # structural nnz is exact
+    assert info["est_nnz"] == ref.nnz  # fused estimation is exact for ESC
+    got = C_out.to_scipy().tocsr()
+    np.testing.assert_allclose(
+        got.toarray(), ref.toarray(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_spgemm_esc_row_blocking_matches_single_shot():
+    from fastsparse.ops.spgemm import spgemm_esc
+
+    A = C.random_csr(300, 200, 0.05, seed=11, dtype=np.float32)
+    B = C.random_csr(200, 250, 0.05, seed=12, dtype=np.float32)
+    C1, i1 = spgemm_esc(A, B)
+    C2, i2 = spgemm_esc(A, B, p_cap=512)  # forces many row blocks
+    assert i2["n_blocks"] > 1
+    assert i1["nnz"] == i2["nnz"]
+    np.testing.assert_allclose(
+        C1.to_scipy().toarray(), C2.to_scipy().toarray(), rtol=1e-6
+    )
+
+
+def test_spgemm_esc_empty_and_duplicates():
+    from fastsparse.formats.coo import COO
+    from fastsparse.ops.spgemm import spgemm_esc
+
+    # empty product
+    C0, i0 = spgemm_esc(sp.csr_matrix((40, 30)), sp.csr_matrix((30, 20)))
+    assert i0["nnz"] == 0 and C0.shape == (40, 20)
+    # duplicate COO input entries must sum before multiplying
+    rows = np.array([0, 0, 1], np.int64)
+    cols = np.array([1, 1, 0], np.int64)
+    vals = np.array([2.0, 3.0, 4.0], np.float32)
+    A = COO.from_arrays(rows, cols, vals, (2, 2))
+    B = sp.csr_matrix(np.array([[1.0, 2.0], [3.0, 4.0]], np.float32))
+    C1, _ = spgemm_esc(A, B)
+    want = np.array([[15.0, 20.0], [4.0, 8.0]])
+    np.testing.assert_allclose(C1.to_scipy().toarray(), want, rtol=1e-6)
+
+
+def test_spgemm_default_method_is_esc():
+    A = C.random_csr(100, 80, 0.05, seed=21, dtype=np.float32)
+    B = C.random_csr(80, 90, 0.05, seed=22, dtype=np.float32)
+    C_out, info = spgemm(A, B)
+    assert "n_products" in info  # esc path ran
+    ref = (A @ B).tocsr()
+    assert info["nnz"] == ref.nnz
+    # tile path still reachable
+    C2, info2 = spgemm(A, B, method="tiles")
+    assert "n_pairs" in info2
+    np.testing.assert_allclose(
+        C_out.to_scipy().toarray(), C2.to_scipy().toarray(),
+        rtol=1e-4, atol=1e-5,
+    )

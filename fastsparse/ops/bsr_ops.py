@@ -34,6 +34,9 @@ _PALLAS_DTYPES = (jnp.float32, jnp.bfloat16)
 
 # slab_ids are scalar-prefetched into SMEM (1 MB/core); cap entries per call.
 _SMEM_IDX_BUDGET = 64 * 1024  # int32 entries -> 256 KB
+# fp32-parity planes for panel kernels: split in-kernel (True) instead of
+# pre-splitting X at the XLA level (False) — see _prep_panel_x.
+PANEL_FOLD_IN_KERNEL = True
 
 
 from ..utils.shapes import round_up as _round_up
@@ -378,6 +381,12 @@ def _prep_panel_x(A, X, N, precision):
     NB = LANES  # panels re-sweep per j block; X residency caps NB
     Npad = _round_up(N, NB)
     Xp = jnp.zeros((nsl * TK, Npad), X.dtype).at[:ncol, :N].set(X)
+    if parity and PANEL_FOLD_IN_KERNEL:
+        # fp32-parity planes split IN-KERNEL per (PK, NB) slice: the
+        # XLA-level 3-plane prep below was ~40% of headline device time
+        # (docs/TRACE.md, 2026-08-19) and its resident layout costs
+        # 6 B/elem vs plain f32's 4 B.
+        return Xp, NB, Npad, "f32", 0
     if parity:
         hi, h1, x2 = _split_bf16_planes(Xp)
         K_all = Xp.shape[0]

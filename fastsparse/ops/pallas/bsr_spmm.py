@@ -389,6 +389,24 @@ def _panel_body(
             # X plane instead of HIGHEST's six
             a = a.astype(jnp.bfloat16)
         xs = x_ref[pl.ds(st * TK, PK), :]
+        if fold == "f32":
+            # fp32-parity planes computed IN-KERNEL on the (PK, NB) slice:
+            # X stays a plain f32 resident (4 B/col-elem vs the 6 B of the
+            # pre-split 3-plane layout), and the XLA-level plane prep —
+            # measured ~40% of headline device time in the 2026-08-19
+            # trace (docs/TRACE.md) — disappears. bf16 casts are exact
+            # rounding steps; the three dots reproduce the wide fold.
+            x0 = xs.astype(jnp.bfloat16)
+            r1 = xs - x0.astype(jnp.float32)
+            x1 = r1.astype(jnp.bfloat16)
+            x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = (
+                jnp.dot(a, x0, preferred_element_type=o_ref.dtype)
+                + jnp.dot(a, x1, preferred_element_type=o_ref.dtype)
+                + jnp.dot(a, x2, preferred_element_type=o_ref.dtype)
+            )
+            o_ref[pl.ds(g * TM, TM), :] = d
+            continue
         a, xs = _match_dot_dtypes(a, xs)
         p = None if a.dtype == jnp.bfloat16 else prec
         d = jnp.dot(a, xs, preferred_element_type=o_ref.dtype, precision=p)
@@ -442,8 +460,10 @@ def panel_spmm(
     ns = start_slabs.shape[0]
     PK = width * tile_k
     NB = n_block
-    xnb = 3 * NB if fold else NB
-    Npad = x.shape[1] // 3 if fold else x.shape[1]
+    # fold=True: x carries 3 pre-split bf16 planes along lanes.
+    # fold="f32": x is plain f32; planes are computed in-kernel.
+    xnb = 3 * NB if fold is True else NB
+    Npad = x.shape[1] // 3 if fold is True else x.shape[1]
     nj = Npad // NB
     SG = _pick_panel_group(ns, tile_m, PK, binary, panels.dtype.itemsize)
 

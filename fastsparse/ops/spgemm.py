@@ -655,7 +655,10 @@ def spgemm_esc(A, B, config: Config = DEFAULT, p_cap: int | None = None):
         lo_e = 0 if bounds[-1] == 0 else prod_at_row_end[bounds[-1] - 1]
         nxt = int(np.searchsorted(prod_at_row_end, lo_e + cap, side="right"))
         bounds.append(max(nxt, bounds[-1] + 1))
-    parts = []
+    # stack all blocks into uniform (n_blocks, na_max) arrays so the host
+    # -> device upload is ONE transfer set (per-block uploads are
+    # RTT-bound through the remote tunnel); blocks then slice on device
+    spans = []
     for lo_r, hi_r in zip(bounds[:-1], bounds[1:]):
         e_lo = 0 if lo_r == 0 else int(row_end[lo_r - 1])
         e_hi = int(row_end[hi_r - 1])
@@ -663,18 +666,30 @@ def spgemm_esc(A, B, config: Config = DEFAULT, p_cap: int | None = None):
         if blk_p > cap:  # greedy invariant: cap >= max single-row expansion
             raise AssertionError(
                 f"ESC block products {blk_p} exceed cap {cap}")
-        na = _pow2(max(e_hi - e_lo, 8))
-        pad = na - (e_hi - e_lo)
-        blk = slice(e_lo, e_hi)
-        a_rows = np.concatenate([ra_s[blk], np.zeros(pad, ra_s.dtype)])
-        a_cols = np.concatenate([ca_s[blk], np.zeros(pad, ca_s.dtype)])
-        a_vals = np.concatenate([va_s[blk], np.zeros(pad, va_s.dtype)])
-        valid = np.arange(na) < (e_hi - e_lo)
-        parts.append(_esc_block_jit(
-            jnp.asarray(a_rows, jnp.int32), jnp.asarray(a_cols, jnp.int32),
-            jnp.asarray(a_vals, jnp.float32), jnp.asarray(valid),
+        spans.append((e_lo, e_hi))
+    na = _pow2(max(max(e_hi - e_lo for e_lo, e_hi in spans), 8))
+    nb_blk = len(spans)
+    a_rows = np.zeros((nb_blk, na), np.int32)
+    a_cols = np.zeros((nb_blk, na), np.int32)
+    a_vals = np.zeros((nb_blk, na), np.float32)
+    valid = np.zeros((nb_blk, na), bool)
+    for i, (e_lo, e_hi) in enumerate(spans):
+        w = e_hi - e_lo
+        a_rows[i, :w] = ra_s[e_lo:e_hi]
+        a_cols[i, :w] = ca_s[e_lo:e_hi]
+        a_vals[i, :w] = va_s[e_lo:e_hi]
+        valid[i, :w] = True
+    a_rows_d = jnp.asarray(a_rows)
+    a_cols_d = jnp.asarray(a_cols)
+    a_vals_d = jnp.asarray(a_vals)
+    valid_d = jnp.asarray(valid)
+    parts = [
+        _esc_block_jit(
+            a_rows_d[i], a_cols_d[i], a_vals_d[i], valid_d[i],
             b_ptr_d, b_cols_d, b_vals_d, p_cap=cap,
-        ))
+        )
+        for i in range(nb_blk)
+    ]
     # fetch only the per-block scalar counts; the output entries stay on
     # device (single block: zero-copy full-capacity arrays + n_valid —
     # padding beyond the prefix is all-zero by construction)

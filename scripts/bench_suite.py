@@ -25,6 +25,7 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, ".")
 import fastsparse as fs  # noqa: E402
 from fastsparse.bench.matrices import banded, ecfp_like, powerlaw, rmat  # noqa: E402
+from fastsparse.bench.metrics import tree_nbytes  # noqa: E402
 from fastsparse.bench.timing import time_fn  # noqa: E402
 from fastsparse.bench.sol import measure_hbm_bw, spmm_sol_seconds, spmv_sol_seconds  # noqa: E402
 from fastsparse.utils.cache import enable_persistent_cache  # noqa: E402
@@ -85,6 +86,19 @@ def tpu_configs():
     bw = measure_hbm_bw()
     rng = np.random.default_rng(1)
 
+    def fmt_detail(op, nnz, nrow, ncol, n_rhs, dt):
+        """Format-achievable bound next to sol_frac (VERDICT #6): the
+        bytes the *stored* format actually moves (A once + X + Y) over
+        measured bw — format_frac < 1 is kernel inefficiency, and
+        bound/sol is format (padding/dtype) overhead."""
+        a_bytes = tree_nbytes(op.fwd)
+        xy = (nrow + ncol) * n_rhs * 4
+        bound = (a_bytes + xy) / bw
+        return {
+            "format_frac": round(bound / dt, 4),
+            "a_bytes_per_nnz": round(a_bytes / max(nnz, 1), 2),
+        }
+
     # BASELINE config 2: COO SpMV with reordering, power-law, fp32
     m = powerlaw(20_000, 20_000, 1_000_000, seed=0, dtype=np.float32)
     if not want("2"):
@@ -102,7 +116,9 @@ def tpu_configs():
             "spmv_nnz_per_s",
             m.nnz / dt,
             "nnz/s",
-            {"ms": round(dt * 1e3, 3), "rel_err": rel, "sol_frac": round(sol / dt, 4)},
+            {"ms": round(dt * 1e3, 3), "rel_err": rel,
+             "sol_frac": round(sol / dt, 4),
+             **fmt_detail(op, m.nnz, *m.shape, 1, dt)},
         )
 
     # BASELINE config 3: binary multi-RHS SpMM, Macau-style matrices
@@ -143,6 +159,7 @@ def tpu_configs():
                     "rel_err": rel,
                     "sol_frac": round(sol / dt, 4),
                     "format": fmt,
+                    **fmt_detail(op, mat.nnz, *mat.shape, n_rhs, dt),
                 },
             )
 
@@ -164,7 +181,8 @@ def tpu_configs():
             "3 SpMV banded 50k bw512", "spmv_nnz_per_s", mat.nnz / dt,
             "nnz/s",
             {"ms": round(dt * 1e3, 3), "rel_err": rel,
-             "sol_frac": round(sol / dt, 4), "format": fmt},
+             "sol_frac": round(sol / dt, 4), "format": fmt,
+             **fmt_detail(op, mat.nnz, *mat.shape, 1, dt)},
         )
         for n_rhs in (2, 4, 8, 32):
             X = jnp.asarray(
@@ -179,7 +197,8 @@ def tpu_configs():
                 f"3 SpMM banded 50k narrow N={n_rhs}", "spmm_nnz_per_s",
                 mat.nnz / dt, "nnz/s",
                 {"ms": round(dt * 1e3, 3), "rel_err": rel,
-                 "sol_frac": round(sol / dt, 4), "format": fmt},
+                 "sol_frac": round(sol / dt, 4), "format": fmt,
+                 **fmt_detail(op, mat.nnz, *mat.shape, n_rhs, dt)},
             )
         # the Macau/SMURFF consumer shape (SURVEY.md §3.3): one CG-normal
         # step AᵀA·X + reg·X over the dual tilings, N=32 latent factors

@@ -171,3 +171,34 @@ def test_operator_tilepack_matches_oracle():
     yt = np.asarray(op.rmatmat(np.ones((1500, 4), np.float32)))
     np.testing.assert_allclose(yt, m.T @ np.ones((1500, 4), np.float32),
                                rtol=2e-5, atol=1e-4)
+
+
+def test_hilbert_perms_are_permutations():
+    import conftest as C
+
+    from fastsparse.reorder.cluster import hilbert_perms
+
+    coo = fs.coo_from_scipy(C.powerlaw_csr(300, 240, 4000, seed=9).tocoo())
+    rp, cp = hilbert_perms(coo)
+    assert sorted(np.asarray(rp).tolist()) == list(range(300))
+    assert sorted(np.asarray(cp).tolist()) == list(range(240))
+
+
+def test_operator_hilbert_matches_oracle():
+    import jax
+
+    import conftest as C
+
+    m = C.powerlaw_csr(640, 480, 8000, seed=10, dtype=np.float32)
+    op = fs.operator(m, reorder="hilbert", transpose=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(480), jnp.float32)
+    y = np.asarray(jax.jit(lambda op, x: op.matvec(x))(op, x))
+    ref = m @ np.asarray(x)
+    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
+    yt = np.asarray(
+        jax.jit(lambda op, v: op.rmatvec(v))(
+            op, jnp.asarray(rng.standard_normal(640), jnp.float32)
+        )
+    )
+    assert yt.shape == (480,)

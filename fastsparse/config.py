@@ -31,9 +31,10 @@ LANES = 128  # TPU lane width: last-dim tiling unit for every dtype.
 SEG_COLS = 24064
 
 # X-residency column caps per BSR kernel path (12 MB budget, n_block=128):
-# binary3/planes ships X as 3 stacked bf16 planes (6 B/element) -> 16384
-# cols exactly; f32 X -> 24576. Segments wider than the cap silently fall
-# back to the slow streamed kernel — the caps keep segments resident.
+# pre-split planes_n ships X as 3 stacked bf16 planes (6 B/element) ->
+# 16384 cols exactly; f32 X (plain, or the panel kernels' in-kernel
+# fp32-parity fold) -> 24576. Segments wider than the cap fall back to the
+# slower streamed/expand kernels — the caps keep segments resident.
 BSR_SEG_COLS_BINARY3 = 16384
 BSR_SEG_COLS_F32 = 24576
 

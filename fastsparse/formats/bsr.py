@@ -357,12 +357,21 @@ def build_bsr(
         panels = False
     # Panels need the X panel VMEM-resident (there is no streamed-X panel
     # kernel): gate on the same residency caps the operator segments to.
+    # With the in-kernel fp32-parity fold the panel kernel's resident X is
+    # plain f32 (4 B/elem) even for exact-bf16 tiles, so the f32 cap
+    # applies; only the legacy pre-split 3-plane layout (6 B/elem) needs
+    # the tighter cap.
     from ..config import BSR_SEG_COLS_BINARY3, BSR_SEG_COLS_F32
+    from ..ops.bsr_ops import PANEL_FOLD_IN_KERNEL
 
     exact_bf16 = binary or (
         dtype is not None and jnp.dtype(dtype) == jnp.bfloat16
     )
-    cap_cols = BSR_SEG_COLS_BINARY3 if exact_bf16 else BSR_SEG_COLS_F32
+    cap_cols = (
+        BSR_SEG_COLS_F32
+        if (PANEL_FOLD_IN_KERNEL or not exact_bf16)
+        else BSR_SEG_COLS_BINARY3
+    )
     if n_slabs * TK > cap_cols and panels is not True:
         panels = False
     if panels is not False and upair.size:

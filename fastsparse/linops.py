@@ -165,17 +165,28 @@ def _compile_one(coo, fmt: str, config: Config, dtype):
             None,
             jnp.float32,
         )
-        bsr_cap = BSR_SEG_COLS_BINARY3 if is_binary3 else BSR_SEG_COLS_F32
-        if coo.shape[1] > bsr_cap:
-            from .formats.segmented import build_bsr_segmented
+        # Panel layouts keep X resident at 4 B/elem (in-kernel fp32-parity
+        # fold), so even exact-bf16 matrices segment at the f32 cap — try
+        # wide first; only scattered (non-panel) exact-bf16 structure needs
+        # the 6 B/elem pre-split-plane cap of the tile-bucket kernels.
+        def _build(cap):
+            if coo.shape[1] > cap:
+                from .formats.segmented import build_bsr_segmented
 
-            return build_bsr_segmented(
-                coo,
-                config=config,
-                seg_cols=_balanced_seg_cols(coo.shape[1], bsr_cap),
-                dtype=dtype,
-            )
-        return build_bsr(coo, config=config, dtype=dtype)
+                return build_bsr_segmented(
+                    coo,
+                    config=config,
+                    seg_cols=_balanced_seg_cols(coo.shape[1], cap),
+                    dtype=dtype,
+                )
+            return build_bsr(coo, config=config, dtype=dtype)
+
+        built = _build(BSR_SEG_COLS_F32)
+        if is_binary3 and coo.shape[1] > BSR_SEG_COLS_BINARY3:
+            pieces = getattr(built, "segments", (built,))
+            if not all(getattr(s, "is_panel", False) for s in pieces):
+                built = _build(BSR_SEG_COLS_BINARY3)
+        return built
     if fmt == "ell":
         if coo.shape[1] > SEG_COLS:
             return build_ell_segmented(

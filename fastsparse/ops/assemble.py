@@ -21,7 +21,7 @@ convert time instead of per thread at run time.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,11 +92,19 @@ class BsrStripPlan:
     """Strip-gather schedule for `bsr_spmm`: ``pos[s]`` is the row of the
     concatenated per-chunk strip panels holding strip ``s``'s output
     (strips are disjoint across buckets), or the appended zero panel for
-    empty strips. ``n_parts`` = total panel rows the plan expects."""
+    empty strips. ``n_parts`` = total panel rows the plan expects.
+
+    ``row_pos`` (when present) is the row-granular version: position of
+    output row ``r`` in the flattened ``(n_parts*TM, Npad)`` parts array
+    (sentinel ``n_parts*TM`` = appended zero row). One gather over it
+    produces the EXACT ``(nrow, Npad)`` output — the strip-level gather +
+    separate ``[:nrow]`` trim cost a full extra Y rewrite (~36 µs/iter on
+    the 2026-08-19 headline trace, docs/TRACE.md)."""
 
     pos: jax.Array  # int32[n_strips]
     n_parts: int = static_field()
     layout_key: Tuple = static_field()
+    row_pos: Any = None  # int32[nrow] | None
 
 
 def bsr_layout_key():
@@ -122,11 +130,31 @@ def build_strip_plan(A) -> BsrStripPlan:
         pos[sid[real]] = off + np.nonzero(real)[0]
         off += n_pad
     pos[pos < 0] = off  # zero-panel sentinel for empty strips
+    rp = _row_positions(pos[None, :], off, A.tile_m, A.shape[0])
     return BsrStripPlan(
         pos=jnp.asarray(pos.astype(np.int32)),
         n_parts=int(off),
         layout_key=bsr_layout_key(),
+        row_pos=rp[0] if rp else None,
     )
+
+
+def _row_positions(slot_of_strip, n_parts, TM, nrow):
+    """Strip-level slot positions -> per-output-row gather indices.
+
+    ``slot_of_strip`` int[n_levels, n_strips] (sentinel ``n_parts`` =
+    absent); returns a tuple of int32[nrow] arrays, one per level, indexing
+    the flattened ``(n_parts*TM + 1, Npad)`` parts array (last row = zeros).
+    Returns None when the flat index would overflow int32."""
+    if (n_parts + 1) * TM >= 2**31:
+        return None
+    r = np.arange(nrow, dtype=np.int64)
+    s, q = r // TM, r % TM
+    out = []
+    for lvl in np.asarray(slot_of_strip, np.int64):
+        src = np.where(lvl[s] < n_parts, lvl[s] * TM + q, n_parts * TM)
+        out.append(jnp.asarray(src.astype(np.int32)))
+    return tuple(out)
 
 
 @pytree_dataclass
@@ -147,6 +175,12 @@ class AssemblyPlan:
     widths: Tuple[int, ...] = static_field()
     n_slots: int = static_field()  # rows of parts_cat the plan was built for
     layout_key: Tuple = static_field()
+    # Row-granular variant (colseg strip plans only): ``row_srcs[m][r]`` is
+    # output row ``r``'s m-th contribution in the flattened
+    # ``(n_slots*TM + 1, Npad)`` parts array (sentinel = the zero row).
+    # Σ_m one gather each produces the EXACT (nrow, Npad) output — no
+    # strip-level intermediate, no separate [:nrow] trim pass.
+    row_srcs: Tuple[Any, ...] = ()
 
 
 def _slot_stream(A):
@@ -294,12 +328,31 @@ def build_colseg_plan(A) -> AssemblyPlan:
         np.concatenate(valids) if valids else np.zeros((0,), bool)
     )
     classes, widths, rowpos = _classes_from_slots(rid_all, valid_all, nsp)
+
+    # Row-granular schedule: slot position of each strip's m-th part.
+    n_slots = len(rid_all)
+    pos_all = np.nonzero(valid_all)[0]
+    strips = rid_all[pos_all]
+    order = np.argsort(strips, kind="stable")
+    ss, ps = strips[order], pos_all[order]
+    counts = np.bincount(ss.astype(np.int64), minlength=nsp)
+    starts = np.zeros(nsp, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    maxm = int(counts.max()) if counts.size else 0
+    slot_of_strip = np.full((max(maxm, 1), nsp), n_slots, np.int64)
+    for m in range(maxm):
+        sel = counts > m
+        slot_of_strip[m, sel] = ps[starts[sel] + m]
+    row_srcs = _row_positions(
+        slot_of_strip, n_slots, A.segments[0].tile_m, A.shape[0]
+    )
     return AssemblyPlan(
         classes=tuple(classes),
         rowpos=jnp.asarray(rowpos.astype(np.int32)),
         widths=tuple(widths),
-        n_slots=len(rid_all),
+        n_slots=n_slots,
         layout_key=colseg_layout_key(),
+        row_srcs=row_srcs or (),
     )
 
 

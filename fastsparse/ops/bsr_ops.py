@@ -152,6 +152,19 @@ def _split_bf16_planes(Xp):
     )
 
 
+def _stack_planes(Xp, NB: int, Npad: int):
+    """f32 (K, Npad) -> bf16 (K, 3·Npad): fp32-parity planes stacked along
+    lanes per NB-panel, layout ``[x0_j | x1_j | x2_j]`` (the planes_n /
+    fold=True kernel layout)."""
+    hi, h1, x2 = _split_bf16_planes(Xp)
+    K_all = Xp.shape[0]
+    nj = Npad // NB
+    return (
+        jnp.stack([p.reshape(K_all, nj, NB) for p in (hi, h1, x2)], axis=2)
+        .reshape(K_all, nj * 3 * NB)
+    )
+
+
 def bsr_spmm(
     A: BsrMatrix,
     X,
@@ -222,6 +235,9 @@ def bsr_spmm(
             parts.append(Yb.reshape(slab_ids.shape[0], TM, Npad))
         if _parts:
             return sids, parts, Npad, nq
+        Y = _assemble_rows(A, parts, Npad, jnp.float32)
+        if Y is not None:
+            return _fold_narrow(Y, nq)[:, :N]
         Y = _assemble_strips(A, sids, parts, Npad, jnp.float32)
         return _fold_narrow(Y, nq)[:nrow, :N]
 
@@ -263,22 +279,10 @@ def bsr_spmm(
     if not (planes and strategy == "resident"):
         binary_path = "expand"  # kernel must see the layout X actually has
     else:
-        hi, h1, x2 = _split_bf16_planes(Xp)
         if binary_path == "planes_k":
-            Xp = jnp.concatenate([hi, h1, x2], axis=0)
+            Xp = jnp.concatenate(_split_bf16_planes(Xp), axis=0)
         else:  # planes_n: per-panel [x0_j | x1_j | x2_j] along lanes
-            K_all = Xp.shape[0]
-            nj = Npad // n_block
-            Xp = (
-                jnp.stack(
-                    [
-                        p.reshape(K_all, nj, n_block)
-                        for p in (hi, h1, x2)
-                    ],
-                    axis=2,
-                )
-                .reshape(K_all, nj * 3 * n_block)
-            )
+            Xp = _stack_planes(Xp, n_block, Npad)
 
     # Dump strip nsp catches padding bucket slots (strip_ids == nsp).
     sids, parts = [], []
@@ -302,7 +306,33 @@ def bsr_spmm(
         return sids, parts, Npad, 0
     # bf16 X still accumulates in f32 (Mosaic 32-bit matmul acc)
     ydtype = jnp.float32 if X.dtype == jnp.bfloat16 else X.dtype
+    Y = _assemble_rows(A, parts, Npad, ydtype)
+    if Y is not None:
+        return Y[:, :N]
     return _assemble_strips(A, sids, parts, Npad, ydtype)[:nrow, :N]
+
+
+@named("bsr_assemble_rows")
+def _assemble_rows(A, parts, Npad, ydtype):
+    """Row-granular assembly: ONE gather over the flattened strip panels
+    produces the exact ``(nrow, Npad)`` output (plan sentinel rows hit the
+    appended zero row). Returns None when no valid row plan is attached —
+    callers fall back to `_assemble_strips` + ``[:nrow]`` trim."""
+    plan = getattr(A, "strip_plan", None)
+    if (
+        not parts
+        or plan is None
+        or plan.row_pos is None
+        or plan.layout_key != _asm_bsr_layout_key()
+        or plan.n_parts != sum(int(p.shape[0]) for p in parts)
+    ):
+        return None
+    cat = jnp.concatenate(
+        [p.reshape(-1, Npad) for p in parts]
+        + [jnp.zeros((1, Npad), parts[0].dtype)],
+        axis=0,
+    )
+    return cat[plan.row_pos].astype(ydtype)
 
 
 @named("bsr_assemble_strips")
@@ -388,21 +418,14 @@ def _prep_panel_x(A, X, N, precision):
         # 6 B/elem vs plain f32's 4 B.
         return Xp, NB, Npad, "f32", 0
     if parity:
-        hi, h1, x2 = _split_bf16_planes(Xp)
-        K_all = Xp.shape[0]
-        nj = Npad // NB
-        Xp = (
-            jnp.stack(
-                [p.reshape(K_all, nj, NB) for p in (hi, h1, x2)], axis=2
-            ).reshape(K_all, nj * 3 * NB)
-        )
-        return Xp, NB, Npad, True, 0
+        return _stack_planes(Xp, NB, Npad), NB, Npad, True, 0
     return Xp, NB, Npad, False, 0
 
 
-def _panel_parts(A, Xp, NB, Npad, fold, precision):
+def _panel_parts(A, Xp, NB, Npad, fold, precision, x_rows=None, seg=None):
     """Run the panel kernel per chunk; returns (sids, parts) for
-    `_assemble_strips`."""
+    `_assemble_strips`. ``x_rows``/``seg`` window a global padded X
+    (column-segmented callers — see `panel_spmm`)."""
     TM, TK = A.tile_m, A.tile_k
     nsp = A.n_strips
     sids, parts = [], []
@@ -419,6 +442,8 @@ def _panel_parts(A, Xp, NB, Npad, fold, precision):
             n_block=NB,
             fold=fold,
             precision=precision,
+            x_rows=x_rows,
+            seg=seg,
         )
         sids.append(strip_ids)
         parts.append(Yb.reshape(n_pad, TM, Npad))
@@ -438,6 +463,9 @@ def _panel_impl(A, X, precision, _parts=False):
     if _parts:
         return sids, parts, Npad, nq
     # the panel kernel always emits a 32-bit accumulator
+    Y = _assemble_rows(A, parts, Npad, jnp.float32)
+    if Y is not None:
+        return (_fold_narrow(Y, nq) if nq else Y)[:, :N]
     Y = _assemble_strips(A, sids, parts, Npad, jnp.float32)
     if nq:
         Y = _fold_narrow(Y, nq)
@@ -458,6 +486,60 @@ def _seg_mode(seg, N, x_dtype, precision):
         return LANES, nq
     nb = min(_round_up(N, LANES), 512)
     return _round_up(N, nb), 0
+
+
+def _colseg_panel_parts_global(A, X, N, Npad, nq, precision):
+    """All-segment panel parts over ONE globally padded X.
+
+    Each `panel_spmm` launch DMAs its segment's resident window straight
+    out of the shared padded X via a scalar-prefetched BlockSpec index —
+    the per-segment host-level ``X[off:off+w]`` slice + pad copies (a full
+    extra X rewrite per product, ~35 µs/iter on the 2026-08-19 headline
+    trace) disappear. Requires uniform, TK-aligned segment widths and one
+    (binary, dtype) family; returns None otherwise (caller falls back)."""
+    segs = A.segments
+    if not all(s.is_panel for s in segs):
+        return None
+    if len({(s.binary, jnp.dtype(s.dtype).name) for s in segs}) != 1:
+        return None
+    seg_w = A.seg_cols
+    TK = segs[0].tile_k
+    if seg_w % TK:
+        return None
+    if any(off != i * seg_w for i, off in enumerate(A.col_offsets)):
+        return None
+    nsl_u = seg_w // TK
+    if any(s.n_slabs > nsl_u for s in segs):
+        return None
+    K_rows = len(segs) * nsl_u * TK
+    ncol = A.shape[1]
+    first = segs[0]
+    exact_bf16 = first.binary or first.dtype == jnp.bfloat16
+    parity = (
+        exact_bf16 and precision == "highest" and X.dtype == jnp.float32
+    )
+    # mirror _prep_panel_x's mode decisions on the global operand
+    if nq:
+        Xg = _pack_narrow_planes(X, K_rows, nq)
+        fold = False
+    else:
+        Xg = jnp.zeros((K_rows, Npad), X.dtype).at[:ncol, :N].set(X)
+        if parity and PANEL_FOLD_IN_KERNEL:
+            fold = "f32"
+        elif parity:
+            Xg = _stack_planes(Xg, LANES, Npad)
+            fold = True
+        else:
+            fold = False
+    parts_all = []
+    for si, seg in enumerate(segs):
+        sidx = jnp.full((1,), si, jnp.int32)
+        _, parts = _panel_parts(
+            seg, Xg, LANES, Npad, fold, precision,
+            x_rows=nsl_u * TK, seg=sidx,
+        )
+        parts_all += parts
+    return parts_all
 
 
 def colseg_spmm(A, X, *, precision: str = "highest"):
@@ -491,18 +573,37 @@ def colseg_spmm(A, X, *, precision: str = "highest"):
         return None
     Npad, nq = modes.pop()
 
-    parts_all = []
-    for off, seg in zip(A.col_offsets, segs):
-        Xs = X[off : off + seg.shape[1]]
-        _, parts, Npad_s, nq_s = bsr_spmm(
-            seg, Xs, precision=precision, _parts=True
-        )
-        if (Npad_s, nq_s) != (Npad, nq):  # pragma: no cover - _seg_mode drift
-            return None
-        parts_all += parts
+    parts_all = _colseg_panel_parts_global(A, X, N, Npad, nq, precision)
+    if parts_all is None:
+        parts_all = []
+        for off, seg in zip(A.col_offsets, segs):
+            Xs = X[off : off + seg.shape[1]]
+            _, parts, Npad_s, nq_s = bsr_spmm(
+                seg, Xs, precision=precision, _parts=True
+            )
+            if (Npad_s, nq_s) != (Npad, nq):  # pragma: no cover - drift
+                return None
+            parts_all += parts
     if plan.n_slots != sum(int(p.shape[0]) for p in parts_all):
         return None
     with named("colseg_assemble"):
+        if plan.row_srcs:
+            # Row-granular: Σ_m one gather over the flattened parts
+            # produces the EXACT (nrow, Npad) output in a single fused
+            # pass — no strip-level intermediate, no [:nrow] trim rewrite
+            # (the trim alone cost ~36 µs/iter on the 2026-08-19 headline
+            # trace, docs/TRACE.md).
+            pcat = jnp.concatenate(
+                [p.reshape(-1, Npad) for p in parts_all]
+                + [jnp.zeros((1, Npad), parts_all[0].dtype)],
+                axis=0,
+            )
+            Y = pcat[plan.row_srcs[0]]
+            for src in plan.row_srcs[1:]:
+                Y = Y + pcat[src]
+            if nq:
+                Y = _fold_narrow(Y, nq)
+            return Y[:, :N]
         pcat = jnp.concatenate(parts_all, axis=0)
         ys = []
         for c, pos_c in zip(plan.widths, plan.classes):

@@ -371,8 +371,10 @@ def bucket_spmm(
 
 
 def _panel_body(
-    binary, PK, TK, TM, SG, NB, fold, prec, start_ref, panels_ref, x_ref, o_ref
+    binary, PK, TK, TM, SG, NB, fold, prec,
+    seg_ref, start_ref, panels_ref, x_ref, o_ref,
 ):
+    del seg_ref  # consumed by the X BlockSpec index map only
     i = pl.program_id(1)
     # whole (SG, TM, PK) block expanded in ONE call when bitmask (batched
     # VPU expansion amortizes — see _expand_bits)
@@ -431,7 +433,10 @@ def _pick_panel_group(ns: int, tile_m: int, PK: int, binary: bool, itemsize: int
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_m", "tile_k", "width", "binary", "n_block", "fold", "precision"),
+    static_argnames=(
+        "tile_m", "tile_k", "width", "binary", "n_block", "fold",
+        "precision", "x_rows",
+    ),
 )
 def panel_spmm(
     start_slabs,  # int32[ns]
@@ -445,13 +450,21 @@ def panel_spmm(
     n_block: int,
     fold: bool,
     precision: str = "highest",
+    x_rows: int | None = None,
+    seg=None,  # int32[1] — which (x_rows)-row window of x is resident
 ) -> jax.Array:
     """One panel bucket's ``Y_b = A_b @ X``: returns f32[ns*TM, Npad].
 
     ``fold=True`` means ``x`` carries 3 bf16 planes per panel-j along the
     lane axis (``[x0_j | x1_j | x2_j]``, fp32-parity layout — see
     `bsr_ops._split_bf16_planes`); the body folds thirds after one wide
-    dot. X must be VMEM-resident (callers segment columns to fit)."""
+    dot. X must be VMEM-resident (callers segment columns to fit).
+
+    ``x_rows``/``seg`` window a GLOBAL padded X: the resident block is rows
+    ``[seg·x_rows, (seg+1)·x_rows)`` of ``x``, DMA'd by the BlockSpec —
+    column-segmented callers thereby share one padded X across segments
+    with zero per-segment host-level slice/pad copies. ``seg`` is a traced
+    scalar-prefetch operand, so all segments share ONE compiled program."""
     prec = (
         jax.lax.Precision.HIGHEST
         if precision == "highest"
@@ -466,24 +479,30 @@ def panel_spmm(
     Npad = x.shape[1] // 3 if fold is True else x.shape[1]
     nj = Npad // NB
     SG = _pick_panel_group(ns, tile_m, PK, binary, panels.dtype.itemsize)
+    if x_rows is None:
+        x_rows = x.shape[0]
+    if seg is None:
+        seg = jnp.zeros((1,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nj, ns // SG),
         in_specs=[
             pl.BlockSpec(
                 (SG, tile_m, panels.shape[-1]),
-                lambda j, i, s: (i, 0, 0),
+                lambda j, i, sb, s: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                x.shape[:1] + (xnb,),
-                lambda j, i, s: (0, j),
+                (x_rows, xnb),
+                lambda j, i, sb, s: (sb[0], j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (SG * tile_m, NB), lambda j, i, s: (i, j), memory_space=pltpu.VMEM
+            (SG * tile_m, NB),
+            lambda j, i, sb, s: (i, j),
+            memory_space=pltpu.VMEM,
         ),
     )
     flops = 2 * ns * tile_m * PK * (3 * Npad if fold else Npad)
@@ -500,11 +519,11 @@ def panel_spmm(
             ),
             cost_estimate=pl.CostEstimate(
                 flops=flops,
-                bytes_accessed=abytes + x.size * x.dtype.itemsize,
+                bytes_accessed=abytes + x_rows * xnb * nj * x.dtype.itemsize,
                 transcendentals=0,
             ),
             interpret=_interpret(),
-        )(start_slabs, panels, x)
+        )(seg, start_slabs, panels, x)
 
 
 # ---------------------------------------------------------------------------

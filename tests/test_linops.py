@@ -122,20 +122,60 @@ def test_balanced_seg_cols_respects_caps():
 
 
 def test_binary_bsr_segments_stay_resident():
-    """Binary operator on a >16384-col matrix must segment under the
-    binary3 cap (3 bf16 X planes = 6 B/element at the 12 MB budget)."""
+    """Panel-era X-residency policy. Panel kernels fold the fp32-parity
+    planes IN-KERNEL on a plain f32 resident X (4 B/element), so all-panel
+    binary layouts stay unsegmented up to the f32 cap; only layouts that
+    would run the pre-split 3-plane tile kernels (6 B/element) need the
+    tighter binary3 cap. Either way every segment's resident X window must
+    fit the 12 MB VMEM budget at n_block=128."""
     import scipy.sparse as sp
 
+    from fastsparse.formats.bsr import BsrMatrix
     from fastsparse.formats.segmented import ColSegmented
-    from fastsparse.linops import BSR_SEG_COLS_BINARY3
+    from fastsparse.linops import BSR_SEG_COLS_BINARY3, BSR_SEG_COLS_F32
 
     rng = np.random.default_rng(0)
-    n = 18000
-    r = rng.integers(0, 512, 40000)
-    c = np.clip(r * 35 + rng.integers(0, 2000, 40000), 0, n - 1)
-    m = sp.coo_matrix((np.ones(r.size, np.float32), (r, c)), shape=(512, n))
-    m.sum_duplicates(); m.data[:] = 1.0
+
+    def banded_binary(nrow, ncol, per_row=80, spread=2000):
+        r = rng.integers(0, nrow, nrow * per_row)
+        c = np.clip(
+            (r * (ncol // nrow)) + rng.integers(0, spread, r.size),
+            0, ncol - 1,
+        )
+        m = sp.coo_matrix(
+            (np.ones(r.size, np.float32), (r, c)), shape=(nrow, ncol)
+        )
+        m.sum_duplicates()
+        m.data[:] = 1.0
+        return m
+
+    def assert_resident(fmt):
+        """Every piece's X window fits 12 MB f32 at n_block=128."""
+        pieces = fmt.segments if isinstance(fmt, ColSegmented) else (fmt,)
+        for seg in pieces:
+            cap = (
+                BSR_SEG_COLS_F32
+                if getattr(seg, "is_panel", False)
+                else BSR_SEG_COLS_BINARY3
+            )
+            assert seg.shape[1] <= cap
+            assert seg.n_slabs * seg.tile_k * 128 * 4 <= 12.5 * 2**20
+
+    # 18000 cols, banded: all-panel layout -> unsegmented at the f32 cap
+    # (the old policy split it at 16384; panels make that split pure loss).
+    m = banded_binary(512, 18000)
     op = fs.operator(m, format="bsr", transpose=False)
-    assert isinstance(op.fwd, ColSegmented)
-    for seg in op.fwd.segments:
-        assert seg.shape[1] <= BSR_SEG_COLS_BINARY3
+    assert isinstance(op.fwd, BsrMatrix) and op.fwd.is_panel
+    assert_resident(op.fwd)
+    X = np.asarray(rng.standard_normal((18000, 8)), np.float32)
+    ref = (m @ X).astype(np.float64)
+    err = np.abs(np.asarray(op.matmat(X)) - ref).max() / np.abs(ref).max()
+    # normalized full-output error (the bench.py bar); plain 1e-6 allclose
+    # trips on XLA:CPU's fp-contraction of the parity planes (CLAUDE.md)
+    assert err < 1e-6, err
+
+    # 30000 cols > f32 cap: must segment, each segment resident.
+    m2 = banded_binary(512, 30000)
+    op2 = fs.operator(m2, format="bsr", transpose=False)
+    assert isinstance(op2.fwd, ColSegmented)
+    assert_resident(op2.fwd)

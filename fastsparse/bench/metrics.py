@@ -37,8 +37,11 @@ def tree_nbytes(tree) -> int:
 def format_stats(A) -> Dict[str, Any]:
     nbytes = tree_nbytes(A)
     if isinstance(A, BsrMatrix):
+        kind = "bsr-binary" if A.binary else "bsr"
+        if A.is_mono:
+            kind += "-mono"
         return {
-            "format": "bsr-binary" if A.binary else "bsr",
+            "format": kind,
             "nnz": A.nnz,
             "padding_ratio": A.padding_ratio,
             "occupancy": A.tile_occupancy,

@@ -15,7 +15,14 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fetch_scalar", "measure_rtt", "time_fn", "time_chain"]
+__all__ = [
+    "fetch_scalar",
+    "measure_rtt",
+    "time_fn",
+    "time_fn_stats",
+    "time_chain",
+    "time_scan",
+]
 
 
 def fetch_scalar(x) -> float:
@@ -61,6 +68,57 @@ def time_fn(fn: Callable, *args, reps: int = 20, warmup: int = 2) -> float:
         if elapsed - rtt >= 3.0 * rtt or reps >= 640:
             return max((elapsed - rtt) / reps, 1e-9)
         reps = min(reps * 8, 640)
+
+
+def time_fn_stats(
+    fn: Callable, *args, batches: int = 5, reps: int = 20
+) -> dict:
+    """`time_fn` run as ``batches`` independent fetch batches.
+
+    Returns ``{"min_ms", "median_ms", "samples_ms", "rtt_ms"}`` so a bench
+    row carries variance evidence: tunnel-hour swings (documented 3.5 vs
+    4.6 ms on identical code across sessions) are then distinguishable
+    from real regressions by the spread and the probe RTT."""
+    rtt = measure_rtt()
+    samples = sorted(time_fn(fn, *args, reps=reps) for _ in range(batches))
+    return {
+        "min_ms": round(samples[0] * 1e3, 4),
+        "median_ms": round(samples[len(samples) // 2] * 1e3, 4),
+        "samples_ms": [round(s * 1e3, 4) for s in samples],
+        "rtt_ms": round(rtt * 1e3, 2),
+    }
+
+
+def time_scan(fn: Callable, x0, iters: int = 50, batches: int = 3) -> float:
+    """Device-chained per-iteration seconds: ONE dispatch running ``iters``
+    data-dependent applications of ``fn`` inside `lax.fori_loop`, one
+    fetch. Per-dispatch tunnel latency and inter-launch host gaps are paid
+    once instead of per iteration — the closest measurable analog of
+    device-busy time per product (docs/TRACE.md found wall ≈ 2× busy at
+    N=128; this separates the two in bench rows).
+
+    ``fn`` must accept and ignore extra output shape: each iteration is
+    chained with `lax.optimization_barrier` so XLA cannot elide or overlap
+    the repeated products even though the carry value never changes.
+    """
+    rtt = measure_rtt()
+
+    def body(_, x):
+        y = fn(x)
+        # barrier bundles (x, y): the next iteration's x depends on this
+        # iteration's product without changing its value or shape
+        x2, _ = jax.lax.optimization_barrier((x, y))
+        return x2
+
+    g = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
+    fetch_scalar(g(x0))  # compile + warm
+    best = None
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        fetch_scalar(g(x0))
+        dt = time.perf_counter() - t0 - rtt
+        best = dt if best is None else min(best, dt)
+    return max(best / iters, 1e-9)
 
 
 def time_chain(fn: Callable, x0, reps: int = 10) -> float:

@@ -80,6 +80,13 @@ class Config:
     # slice + one wide MXU dot per strip instead of per tile. "auto"
     # compares padded slab footprints and picks the smaller layout.
     bsr_panels: str = "auto"
+    # Mono-panel layout ("auto"/"off"/"force"): ONE uniform-width panel
+    # work list for the whole matrix, executed by a single kernel launch
+    # with per-strip X windows and in-place output (no column segments, no
+    # per-class launches, no assembly — kills the measured ~0.27 ms fixed
+    # per-product overhead). "auto" picks it when its padded footprint is
+    # within MONO_BYTES_FACTOR of the best alternative layout.
+    bsr_mono: str = "auto"
 
 
 DEFAULT = Config()

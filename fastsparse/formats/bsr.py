@@ -40,6 +40,7 @@ from .csr import CSR, BinaryCSR
 __all__ = [
     "BsrBucket",
     "PanelBucket",
+    "MonoPanelBucket",
     "BsrMatrix",
     "build_bsr",
     "expand_bits_reference",
@@ -101,6 +102,53 @@ class PanelBucket:
 
 
 @pytree_dataclass
+class MonoPanelBucket:
+    """The whole matrix as ONE uniform-width panel work list — the
+    single-launch execution layout.
+
+    Multi-class panels (:class:`PanelBucket`) cost one kernel launch per
+    (segment, width class); the measured fixed overhead of launches +
+    cross-launch assembly (~0.27 ms/product, docs/TRACE.md) dominated
+    everything narrower than N=128. Here every strip's occupied span is
+    covered by ≥1 *items* of one shared width ``W``; each item knows
+
+    * ``strip_ids[i]`` — its output row-block (items sorted by strip, so
+      the kernel writes Y in place: NO assembly, NO scatter);
+    * ``window[i]`` — which ``win_slabs``-slab block of the padded X must
+      be VMEM-resident for it (windows replace column segmentation: wide
+      matrices need no per-segment launches, just an X re-DMA when the
+      prefetched window index changes);
+    * ``start_rel[i]`` — the item's first slab, window-relative;
+    * ``first[i]`` — 1 on a strip's first item (kernel init-vs-accumulate:
+      strips split across windows/chunks accumulate in the still-resident
+      output block — items of one strip are adjacent by construction).
+
+    Empty strips carry one zero item so every output block is written.
+    """
+
+    strip_ids: jax.Array  # int32[ni] — ascending
+    window: jax.Array  # int32[ni]
+    start_rel: jax.Array  # int32[ni] — slabs, relative to window start
+    first: jax.Array  # int32[ni]
+    panels: jax.Array  # dtype[ni,TM,PK] | uint32[ni,TM,PK//32] bits
+    width: int = static_field()  # W: slabs per item (PK = W·TK)
+    win_slabs: int = static_field()
+    n_windows: int = static_field()
+
+    @property
+    def ns(self) -> int:
+        return int(self.strip_ids.shape[0])
+
+    @property
+    def ntiles(self) -> int:  # tile-equivalents (metrics compat)
+        return self.width
+
+    @property
+    def is_binary(self) -> bool:
+        return self.panels.dtype == jnp.uint32
+
+
+@pytree_dataclass
 class BsrMatrix:
     """A matrix compiled into bucketed (TM × TK) tiles.
 
@@ -135,11 +183,23 @@ class BsrMatrix:
         if not self.buckets:
             return jnp.float32
         b = self.buckets[0]
-        return (b.panels if isinstance(b, PanelBucket) else b.tiles).dtype
+        return (
+            b.panels
+            if isinstance(b, (PanelBucket, MonoPanelBucket))
+            else b.tiles
+        ).dtype
 
     @property
     def is_panel(self) -> bool:
-        return bool(self.buckets) and isinstance(self.buckets[0], PanelBucket)
+        return bool(self.buckets) and isinstance(
+            self.buckets[0], (PanelBucket, MonoPanelBucket)
+        )
+
+    @property
+    def is_mono(self) -> bool:
+        return bool(self.buckets) and isinstance(
+            self.buckets[0], MonoPanelBucket
+        )
 
     @property
     def tile_occupancy(self) -> float:
@@ -155,6 +215,23 @@ class BsrMatrix:
     def todense(self) -> jax.Array:
         TM, TK = self.tile_m, self.tile_k
         nsp, nsl = self.n_strips, self.n_slabs
+        if self.is_mono:
+            b = self.buckets[0]
+            PK = b.width * TK
+            wide = max(b.n_windows * b.win_slabs, nsl) * TK
+            outp = jnp.zeros((nsp + 1, TM, wide), self.dtype)
+            panels = b.panels
+            if self.binary:
+                panels = expand_bits_reference(panels, PK).astype(self.dtype)
+            start = b.window * b.win_slabs + b.start_rel  # absolute slabs
+            cols = start[:, None] * TK + jnp.arange(PK)[None, :]
+            outp = outp.at[
+                b.strip_ids[:, None, None],
+                jnp.arange(TM)[None, :, None],
+                cols[:, None, :],
+            ].add(panels)
+            dense = outp[:nsp, :, : nsl * TK].reshape(nsp * TM, nsl * TK)
+            return dense[: self.shape[0], : self.shape[1]]
         if self.is_panel:
             outp = jnp.zeros((nsp + 1, TM, nsl * TK), self.dtype)
             for b in self.buckets:
@@ -265,8 +342,151 @@ def _panel_footprint(wq: np.ndarray, ne: np.ndarray) -> int:
     return slabs
 
 
+# Mono-panel geometry: X window size (slabs) such that an f32 (win·TK, 128)
+# X window fits the 12 MB VMEM residency budget; per-item fixed cost in
+# slab-equivalents (grid step + dynamic slice + dot issue ≈ the DMA time of
+# ~2 slabs — calibrated against the measured ~0.4 µs/strip panel overhead).
+MONO_WIN_SLABS = 192
+MONO_ITEM_SLABS = 2
+MONO_MAX_ITEMS = 48_000  # 4 prefetched int32 arrays must fit 1 MB SMEM
+# Accept mono when its padded footprint is within this factor of the best
+# alternative layout: the single launch + zero assembly it buys is worth
+# ~0.27 ms/product (docs/TRACE.md) against bytes at ~2 B/slot.
+MONO_BYTES_FACTOR = 1.35
+
+
+def _mono_pieces(smin, smax, ne, win_slabs):
+    """Window-split every nonempty strip's span: returns per-piece arrays
+    (strip, lo, length) — pieces never cross a window boundary and are
+    emitted in (strip, lo) order."""
+    strips = np.nonzero(ne)[0]
+    lo_s, hi_s = smin[strips], smax[strips]
+    w0 = lo_s // win_slabs
+    w1 = hi_s // win_slabs
+    npc = (w1 - w0 + 1).astype(np.int64)
+    p_strip = np.repeat(strips, npc)
+    p_win = np.repeat(w0, npc) + (
+        np.arange(npc.sum()) - np.repeat(np.cumsum(npc) - npc, npc)
+    )
+    p_lo = np.maximum(np.repeat(lo_s, npc), p_win * win_slabs)
+    p_hi = np.minimum(np.repeat(hi_s, npc), (p_win + 1) * win_slabs - 1)
+    return p_strip, p_lo, p_hi - p_lo + 1
+
+
+def _mono_width(p_len: np.ndarray, win_slabs: int, n_empty: int):
+    """Pick the uniform item width W from the panel ladder minimizing the
+    modeled cost  items·(W + ITEM_SLABS)  in slab-equivalents."""
+    best_w, best_cost = None, None
+    for w in [x for x in _PANEL_WIDTHS if x <= win_slabs] or [win_slabs]:
+        items = int(np.sum(-(-p_len // w))) + n_empty
+        cost = items * (w + MONO_ITEM_SLABS)
+        if best_cost is None or cost < best_cost:
+            best_w, best_cost = w, cost
+    return best_w, best_cost
+
+
+def _build_mono(
+    rows, cols, coo, is_bin_in, binary, dtype, shape,
+    n_strips, n_slabs, TM, TK, W, win_slabs,
+    p_strip, p_lo, p_len, n_tiles,
+) -> BsrMatrix:
+    """Mono-panel build: emit the uniform-width item list (strip, window,
+    start_rel, first) + one flat panel fill. See :class:`MonoPanelBucket`."""
+    nrow, ncol = shape
+    n_windows = max(-(-n_slabs // win_slabs), 1)
+
+    # chunk every piece into ceil(len/W) items of width <= W
+    nch = (-(-p_len // W)).astype(np.int64)
+    ni_real = int(nch.sum())
+    it_strip = np.repeat(p_strip, nch)
+    k = np.arange(ni_real) - np.repeat(np.cumsum(nch) - nch, nch)
+    it_lo = np.repeat(p_lo, nch) + k * W
+    it_win = it_lo // win_slabs
+    # left-clamp so the whole W-wide panel stays inside the item's window
+    it_start = np.minimum(it_lo, (it_win + 1) * win_slabs - W)
+
+    # empty strips: one zero item each (every output block must be written)
+    empty = np.setdiff1d(
+        np.arange(n_strips, dtype=np.int64), np.unique(it_strip)
+    )
+    if empty.size:
+        it_strip = np.concatenate([it_strip, empty])
+        it_lo = np.concatenate([it_lo, np.zeros(empty.size, np.int64)])
+        it_win = np.concatenate([it_win, np.zeros(empty.size, np.int64)])
+        it_start = np.concatenate([it_start, np.zeros(empty.size, np.int64)])
+        order = np.argsort(it_strip, kind="stable")
+        it_strip, it_lo, it_win, it_start = (
+            a[order] for a in (it_strip, it_lo, it_win, it_start)
+        )
+    ni = it_strip.size
+    first = np.ones(ni, np.int32)
+    first[1:] = (it_strip[1:] != it_strip[:-1]).astype(np.int32)
+
+    # entry -> item: items sorted by (strip, lo); an entry belongs to the
+    # last item of its strip whose chunk lo <= its slab
+    key_it = it_strip * np.int64(n_slabs + 1) + it_lo
+    strip = rows // TM
+    slab = cols // TK
+    key_en = strip * np.int64(n_slabs + 1) + slab
+    item = np.searchsorted(key_it, key_en, side="right") - 1
+    lcol = cols - it_start[item] * TK  # it_start is absolute slabs
+
+    PK = W * TK
+    PKW = PK // 32
+    per = TM * (PKW if binary else PK)
+    flat_size = max(ni * per + 1, 1)
+    idx_dt = jnp.int32 if flat_size < 2**31 else jnp.int64
+    if binary:
+        slot = item * per + (rows % TM) * PKW + lcol % PKW
+        bit = lcol // PKW
+        flat = _fill_flat_bits(
+            jnp.zeros((flat_size,), jnp.int8),
+            jnp.asarray(slot, idx_dt),
+            jnp.asarray(bit, jnp.int32),
+            jnp.ones((slot.shape[0],), bool),
+        )
+        panels = flat[: ni * per].reshape(ni, TM, PKW)
+    else:
+        slot = item * per + (rows % TM) * PK + lcol
+        if is_bin_in:
+            vals_dev = jnp.ones((rows.shape[0],), dtype or jnp.float32)
+        else:
+            vals_dev = coo.vals[: coo.n_valid]
+            if dtype is not None:
+                vals_dev = vals_dev.astype(dtype)
+        flat = _fill_flat_vals(
+            jnp.zeros((flat_size,), jnp.int8),
+            jnp.asarray(slot, idx_dt),
+            vals_dev,
+            jnp.ones((slot.shape[0],), bool),
+        )
+        panels = flat[: ni * per].reshape(ni, TM, PK)
+
+    bucket = MonoPanelBucket(
+        strip_ids=jnp.asarray(it_strip, jnp.int32),
+        window=jnp.asarray(it_win, jnp.int32),
+        start_rel=jnp.asarray(it_start - it_win * win_slabs, jnp.int32),
+        first=jnp.asarray(first),
+        panels=panels,
+        width=int(W),
+        win_slabs=int(win_slabs),
+        n_windows=int(n_windows),
+    )
+    return BsrMatrix(
+        buckets=(bucket,),
+        shape=(nrow, ncol),
+        nnz=int(rows.shape[0]),
+        n_tiles=n_tiles,
+        padded_tiles=ni * int(W),
+        tile_m=TM,
+        tile_k=TK,
+        binary=bool(binary),
+    )
+
+
 def build_bsr(
-    mat, config: Config = DEFAULT, dtype=None, binary=None, panels=None
+    mat, config: Config = DEFAULT, dtype=None, binary=None, panels=None,
+    mono_only: bool = False,
 ) -> BsrMatrix:
     """Compile a COO/CSR matrix into bucketed (TM × TK) tiles.
 
@@ -277,6 +497,10 @@ def build_bsr(
 
     ``binary=None`` auto-detects: BinaryCOO/BinaryCSR inputs produce bitmask
     tiles unless ``binary=False`` forces valued tiles.
+
+    ``mono_only=True`` returns None unless the mono-panel layout wins the
+    footprint decision — callers (``linops._compile_one``) use it to probe
+    whether a wide matrix can skip column segmentation entirely.
     """
     TM, TK = config.tile_m, config.tile_k
     if TK % 32:
@@ -355,12 +579,12 @@ def build_bsr(
         panels = None  # decide by footprint below
     elif panels is None:
         panels = False
-    # Panels need the X panel VMEM-resident (there is no streamed-X panel
-    # kernel): gate on the same residency caps the operator segments to.
-    # With the in-kernel fp32-parity fold the panel kernel's resident X is
-    # plain f32 (4 B/elem) even for exact-bf16 tiles, so the f32 cap
-    # applies; only the legacy pre-split 3-plane layout (6 B/elem) needs
-    # the tighter cap.
+    # Per-class panels need the FULL X panel VMEM-resident: gate on the
+    # residency caps the operator segments to. Mono panels window X per
+    # strip instead, so they carry no width cap at all. With the in-kernel
+    # fp32-parity fold the panel kernel's resident X is plain f32
+    # (4 B/elem) even for exact-bf16 tiles, so the f32 cap applies; only
+    # the legacy pre-split 3-plane layout (6 B/elem) needs the tighter cap.
     from ..config import BSR_SEG_COLS_BINARY3, BSR_SEG_COLS_F32
     from ..ops.bsr_ops import PANEL_FOLD_IN_KERNEL
 
@@ -372,9 +596,9 @@ def build_bsr(
         if (PANEL_FOLD_IN_KERNEL or not exact_bf16)
         else BSR_SEG_COLS_BINARY3
     )
-    if n_slabs * TK > cap_cols and panels is not True:
-        panels = False
-    if panels is not False and upair.size:
+    classes_ok = n_slabs * TK <= cap_cols
+    mono_mode = getattr(config, "bsr_mono", "off")
+    if (panels is not False or mono_mode == "force") and upair.size:
         last = first_of_strip + np.maximum(tiles_per_strip - 1, 0)
         smin = np.zeros(n_strips, np.int64)
         smax = np.zeros(n_strips, np.int64)
@@ -385,13 +609,42 @@ def build_bsr(
         wq[ne] = _quantize_widths((smax - smin + 1)[ne], n_slabs)
         wq = _merge_panel_classes(wq, ne)
         panel_slabs = _panel_footprint(wq, ne)
+        # mono candidate: uniform width, window-split pieces
+        mono_plan = None
+        if mono_mode in ("auto", "force"):
+            win_slabs = min(MONO_WIN_SLABS, n_slabs)
+            p_strip, p_lo, p_len = _mono_pieces(smin, smax, ne, win_slabs)
+            W, _ = _mono_width(p_len, win_slabs, int((~ne).sum()))
+            n_items = int(np.sum(-(-p_len // W))) + int((~ne).sum())
+            mono_slabs = n_items * W
+            if n_items <= MONO_MAX_ITEMS:
+                mono_plan = (W, win_slabs, p_strip, p_lo, p_len, mono_slabs)
+        best_alt = min(flat_tiles, panel_slabs) if panel_slabs else flat_tiles
+        if mono_plan is not None and (
+            mono_mode == "force"
+            or mono_plan[5] <= MONO_BYTES_FACTOR * max(best_alt, 1)
+        ):
+            W, win_slabs, p_strip, p_lo, p_len, _ = mono_plan
+            return _build_mono(
+                rows, cols, coo, is_bin_in, binary, dtype,
+                (nrow, ncol), n_strips, n_slabs, TM, TK, W, win_slabs,
+                p_strip, p_lo, p_len, int(upair.size),
+            )
+        if mono_only:
+            return None
         # ties go to panels: equal bytes, ~5x less per-tile fixed overhead
-        if panels is True or panel_slabs <= flat_tiles:
+        if (
+            classes_ok or panels is True
+        ) and panels is not False and (
+            panels is True or panel_slabs <= flat_tiles
+        ):
             return _build_panels(
                 rows, cols, coo, is_bin_in, binary, dtype,
                 (nrow, ncol), n_strips, n_slabs, TM, TK, wq, smin,
                 int(upair.size),
             )
+    if mono_only:
+        return None
 
     # Destination tile slot of every unique tile, then of every entry.
     tile_slot_of_u = tile_base_of_strip[ustrip] + urank

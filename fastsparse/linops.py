@@ -173,6 +173,11 @@ def _compile_one(coo, fmt: str, config: Config, dtype):
             if coo.shape[1] > cap:
                 from .formats.segmented import build_bsr_segmented
 
+                # mono panels window X per strip — no segmentation needed
+                # at any width, and the whole product is ONE kernel launch
+                m = build_bsr(coo, config=config, dtype=dtype, mono_only=True)
+                if m is not None:
+                    return m
                 return build_bsr_segmented(
                     coo,
                     config=config,

@@ -71,6 +71,8 @@ def attach_plan(fmt):
             fmt = dataclasses.replace(fmt, plan=build_colseg_plan(fmt))
         return fmt
     if isinstance(fmt, BsrMatrix) and fmt.strip_plan is None:
+        if fmt.is_mono:
+            return fmt  # mono kernels write Y in place — no plan needed
         # stacked multi-shard containers (leading device axes on
         # strip_ids) assemble inside shard_map — skip those
         if all(b.strip_ids.ndim == 1 for b in fmt.buckets):

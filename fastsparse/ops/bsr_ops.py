@@ -16,12 +16,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..formats.bsr import BsrMatrix, PanelBucket
+from ..formats.bsr import BsrMatrix, MonoPanelBucket, PanelBucket
 from ..utils.profiling import named
 from .assemble import bsr_layout_key as _asm_bsr_layout_key
 from .pallas.bsr_spmm import (
     bucket_spmm,
     bucket_spmv,
+    mono_panel_spmm,
     panel_spmm,
     pick_strategy,
 )
@@ -192,6 +193,10 @@ def bsr_spmm(
         # correctness fallback (fp64 etc.) through the XLA engine
         return coo_spmm(_as_coo(A), X)
 
+    if A.is_mono:
+        if _parts:
+            raise TypeError("mono-panel layouts are never column segments")
+        return _mono_impl(A, X, precision)
     if A.is_panel:
         return _panel_impl(A, X, precision, _parts=_parts)
 
@@ -472,6 +477,67 @@ def _panel_impl(A, X, precision, _parts=False):
     return Y[:nrow, :N]
 
 
+def _prep_mono_x(A, X, N, precision):
+    """Pad/encode X for the mono-panel kernel: rows pad to the window
+    multiple. A pre-padded X (already ``(K_pad, Npad)``) is used as-is —
+    chained products (CG, normal equations) then skip the pad copy
+    entirely. Returns (Xp, NB, Npad, fold, nq)."""
+    b = A.buckets[0]
+    TK = A.tile_k
+    K_pad = b.n_windows * b.win_slabs * TK
+    if X.shape[0] > K_pad:
+        X = X[:K_pad]
+    exact_bf16 = A.binary or A.dtype == jnp.bfloat16
+    parity = (
+        exact_bf16 and precision == "highest" and X.dtype == jnp.float32
+    )
+    nq = _narrow_nq(N) if parity else 0
+    if nq:
+        return _pack_narrow_planes(X, K_pad, nq), LANES, LANES, False, nq
+    NB = LANES
+    Npad = _round_up(N, NB)
+    if X.shape == (K_pad, Npad):
+        Xp = X
+    else:
+        Xp = jnp.zeros((K_pad, Npad), X.dtype).at[: X.shape[0], :N].set(X)
+    if parity and PANEL_FOLD_IN_KERNEL:
+        return Xp, NB, Npad, "f32", 0
+    if parity:
+        return _stack_planes(Xp, NB, Npad), NB, Npad, True, 0
+    return Xp, NB, Npad, False, 0
+
+
+def _mono_impl(A, X, precision, out_rows=None, trim=True):
+    """``Y = A @ X`` in ONE kernel launch (MonoPanelBucket layout)."""
+    nrow = A.shape[0]
+    N = X.shape[1]
+    b = A.buckets[0]
+    Xp, NB, Npad, fold, nq = _prep_mono_x(A, X, N, precision)
+    rows = out_rows if out_rows is not None else A.n_strips * A.tile_m
+    Y = mono_panel_spmm(
+        b.window,
+        b.strip_ids,
+        b.start_rel,
+        b.first,
+        b.panels,
+        Xp,
+        tile_m=A.tile_m,
+        tile_k=A.tile_k,
+        width=b.width,
+        win_slabs=b.win_slabs,
+        binary=A.binary,
+        n_block=NB,
+        fold=fold,
+        precision=precision,
+        out_rows=rows,
+    )
+    if nq:
+        Y = _fold_narrow(Y, nq)
+    if not trim:
+        return Y[:, :N]
+    return Y[:nrow, :N]
+
+
 def _seg_mode(seg, N, x_dtype, precision):
     """(Npad, nq) the `bsr_spmm` paths will produce for this segment —
     must agree across segments for the cross-segment plan assembly."""
@@ -666,7 +732,7 @@ def _as_coo(A: BsrMatrix):
     nsp = A.n_strips
     rows_l, cols_l, vals_l = [], [], []
     for b in A.buckets:
-        if isinstance(b, PanelBucket):
+        if isinstance(b, (PanelBucket, MonoPanelBucket)):
             PK = b.width * TK
             panels = (
                 np.asarray(expand_bits_reference(b.panels, PK))
@@ -674,7 +740,13 @@ def _as_coo(A: BsrMatrix):
                 else np.asarray(b.panels)
             )
             sids = np.asarray(b.strip_ids)
-            starts = np.asarray(b.start_slab)
+            if isinstance(b, MonoPanelBucket):
+                starts = (
+                    np.asarray(b.window) * b.win_slabs
+                    + np.asarray(b.start_rel)
+                )
+            else:
+                starts = np.asarray(b.start_slab)
             i, r, c = np.nonzero(panels)
             keep = sids[i] < nsp
             i, r, c = i[keep], r[keep], c[keep]

@@ -38,6 +38,7 @@ __all__ = [
     "bucket_spmm",
     "bucket_spmv",
     "panel_spmm",
+    "mono_panel_spmm",
     "pick_strategy",
     "RESIDENT_VMEM_BUDGET",
 ]
@@ -524,6 +525,148 @@ def panel_spmm(
             ),
             interpret=_interpret(),
         )(seg, start_slabs, panels, x)
+
+
+# ---------------------------------------------------------------------------
+# Mono-panel kernel: the WHOLE product in one launch. Grid (j, item); each
+# item is one (TM, W·TK) panel: its X slice comes from the scalar-prefetch-
+# selected window of the global padded X (windows replace column segments),
+# its output lands directly at its strip's row block (items sorted by strip;
+# first-flag selects init vs accumulate — consecutive same-strip items keep
+# the output block resident in VMEM). No per-class launches, no assembly.
+# ---------------------------------------------------------------------------
+
+
+def _mono_body(
+    binary, PK, TK, TM, NB, fold, prec,
+    win_ref, strip_ref, start_ref, first_ref, panels_ref, x_ref, o_ref,
+):
+    del win_ref, strip_ref  # consumed by the X/out BlockSpec index maps
+    i = pl.program_id(1)
+    a = panels_ref[0]  # (TM, PKstore)
+    if binary:
+        # the 0/1 mask is exact in bf16: one MXU pass per X plane on the
+        # parity paths (fold / bf16-packed narrow X)
+        a = _expand_bits(a, PK, jnp.float32)
+        if fold or x_ref.dtype == jnp.bfloat16:
+            a = a.astype(jnp.bfloat16)
+    st = start_ref[i]
+    xs = x_ref[pl.ds(st * TK, PK), :]
+    if fold == "f32":
+        # fp32-parity planes computed in-kernel (see _panel_body)
+        x0 = xs.astype(jnp.bfloat16)
+        r1 = xs - x0.astype(jnp.float32)
+        x1 = r1.astype(jnp.bfloat16)
+        x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = (
+            jnp.dot(a, x0, preferred_element_type=jnp.float32)
+            + jnp.dot(a, x1, preferred_element_type=jnp.float32)
+            + jnp.dot(a, x2, preferred_element_type=jnp.float32)
+        )
+    else:
+        a, xs = _match_dot_dtypes(a, xs)
+        p = None if a.dtype == jnp.bfloat16 else prec
+        d = jnp.dot(a, xs, preferred_element_type=jnp.float32, precision=p)
+        if fold:  # 3 bf16 X planes stacked along lanes -> fp32 parity
+            d = d[:, :NB] + d[:, NB : 2 * NB] + d[:, 2 * NB :]
+
+    f = first_ref[i]
+
+    @pl.when(f == 1)
+    def _():
+        o_ref[:] = d
+
+    @pl.when(f == 0)
+    def _():
+        o_ref[:] += d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m", "tile_k", "width", "win_slabs", "binary", "n_block",
+        "fold", "precision", "out_rows",
+    ),
+)
+def mono_panel_spmm(
+    window,  # int32[ni] — X window block of each item
+    strip_ids,  # int32[ni] — output row block of each item (ascending)
+    start_rel,  # int32[ni] — item start slab, window-relative
+    first,  # int32[ni] — 1 on a strip's first item
+    panels,  # dtype[ni, TM, PK] | uint32[ni, TM, PK//32]
+    x,  # dtype[n_windows·win_slabs·TK, Npad (or 3·Npad when fold=True)]
+    *,
+    tile_m: int,
+    tile_k: int,
+    width: int,
+    win_slabs: int,
+    binary: bool,
+    n_block: int,
+    fold,
+    precision: str = "highest",
+    out_rows: int | None = None,
+) -> jax.Array:
+    """``Y = A @ X`` for a MonoPanelBucket in ONE kernel launch.
+
+    Returns f32[out_rows, Npad]. Every output row block must be covered by
+    at least one item (empty strips carry zero items — see
+    `formats.bsr.MonoPanelBucket`); ``out_rows`` defaults to
+    ``(max strip + 1)·TM`` and must be a TM multiple.
+    """
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    ni = strip_ids.shape[0]
+    PK = width * tile_k
+    NB = n_block
+    xnb = 3 * NB if fold is True else NB
+    Npad = x.shape[1] // 3 if fold is True else x.shape[1]
+    nj = Npad // NB
+    win_rows = win_slabs * tile_k
+    assert x.shape[0] % win_rows == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nj, ni),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_m, panels.shape[-1]),
+                lambda j, i, sw, ss, sr, sf: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (win_rows, xnb),
+                lambda j, i, sw, ss, sr, sf: (sw[i], j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, NB),
+            lambda j, i, sw, ss, sr, sf: (ss[i], j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    flops = 2 * ni * tile_m * PK * (3 * Npad if fold else Npad)
+    abytes = panels.size * panels.dtype.itemsize
+    with named("mono_spmm"):
+        return pl.pallas_call(
+            functools.partial(
+                _mono_body, binary, PK, tile_k, tile_m, NB, fold, prec
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((out_rows, Npad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=abytes + x.size * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(window, strip_ids, start_rel, first, panels, x)
 
 
 # ---------------------------------------------------------------------------

@@ -72,10 +72,45 @@ def validate(A) -> None:
             )
         return
     if isinstance(A, BsrMatrix):
-        from ..formats.bsr import PanelBucket
+        from ..formats.bsr import MonoPanelBucket, PanelBucket
 
         nsp, nsl = A.n_strips, A.n_slabs
         for b in A.buckets:
+            if isinstance(b, MonoPanelBucket):
+                sid = np.asarray(b.strip_ids)
+                _check(
+                    sid.min() >= 0 and sid.max() < nsp,
+                    "mono strip id out of range",
+                )
+                _check((np.diff(sid) >= 0).all(), "mono items not sorted")
+                fst = np.asarray(b.first)
+                starts = np.ones(sid.size, bool)
+                starts[1:] = sid[1:] != sid[:-1]
+                _check((fst == starts).all(), "mono first flags wrong")
+                _check(
+                    np.unique(sid).size == nsp,
+                    "mono items must cover every strip",
+                )
+                win = np.asarray(b.window)
+                st = np.asarray(b.start_rel)
+                _check(
+                    win.min() >= 0 and win.max() < b.n_windows,
+                    "mono window out of range",
+                )
+                _check(
+                    st.min() >= 0 and (st + b.width).max() <= b.win_slabs,
+                    "mono panel leaves its window",
+                )
+                last = (
+                    (b.width * A.tile_k) // 32
+                    if A.binary
+                    else b.width * A.tile_k
+                )
+                _check(
+                    b.panels.shape == (b.ns, A.tile_m, last),
+                    "mono panel block shape",
+                )
+                continue
             if isinstance(b, PanelBucket):
                 _check(b.ns % 8 == 0, "panel ns not group aligned")
                 sid = np.asarray(b.strip_ids)

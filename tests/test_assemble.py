@@ -173,7 +173,9 @@ def test_bsr_strip_plan():
     m = C.powerlaw_csr(600, 300, 8000, seed=7, dtype=np.float32)
     m[40:80] = 0  # empty strips
     m.eliminate_zeros()
-    A = build_bsr(fs.coo_from_scipy(m, dtype=np.float32))
+    # panels=False: this test covers the tile-bucket strip plan (mono/panel
+    # layouts write Y in place and carry no plan)
+    A = build_bsr(fs.coo_from_scipy(m, dtype=np.float32), panels=False)
     Ap = asm.attach_plan(A)
     assert Ap.strip_plan is not None
     X = np.random.default_rng(8).standard_normal((300, 16)).astype(np.float32)
@@ -201,9 +203,13 @@ def test_operator_attaches_bsr_plans():
     m = C.powerlaw_csr(512, 50_000, 60_000, seed=9, dtype=np.float32)
     m.data[:] = 1.0
     op = fs.operator(m, format="bsr", transpose=False)
-    fmt = op.fwd  # ColSegmented of BsrMatrix
-    segs = fmt.segments if hasattr(fmt, "segments") else [fmt]
-    assert all(s.strip_plan is not None for s in segs)
+    fmt = op.fwd
+    if getattr(fmt, "is_mono", False):
+        # mono layouts write Y in place — plan-free by design
+        assert fmt.strip_plan is None
+    else:
+        segs = fmt.segments if hasattr(fmt, "segments") else [fmt]
+        assert all(s.strip_plan is not None for s in segs)
     X = np.random.default_rng(10).standard_normal((50_000, 8)).astype(
         np.float32
     )

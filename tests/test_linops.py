@@ -150,7 +150,15 @@ def test_binary_bsr_segments_stay_resident():
         return m
 
     def assert_resident(fmt):
-        """Every piece's X window fits 12 MB f32 at n_block=128."""
+        """Every piece's resident X window fits 12 MB f32 at n_block=128.
+
+        Mono-panel layouts window X per item (windows replace column
+        segmentation entirely): the VMEM-budget invariant is on the
+        window, not the matrix width."""
+        if getattr(fmt, "is_mono", False):
+            b = fmt.buckets[0]
+            assert b.win_slabs * fmt.tile_k * 128 * 4 <= 12.5 * 2**20
+            return
         pieces = fmt.segments if isinstance(fmt, ColSegmented) else (fmt,)
         for seg in pieces:
             cap = (
@@ -174,8 +182,29 @@ def test_binary_bsr_segments_stay_resident():
     # trips on XLA:CPU's fp-contraction of the parity planes (CLAUDE.md)
     assert err < 1e-6, err
 
-    # 30000 cols > f32 cap: must segment, each segment resident.
+    # 30000 cols > f32 cap: mono (windowed X, one launch) or segmented —
+    # never an unsegmented full-width class-panel/tile layout.
     m2 = banded_binary(512, 30000)
     op2 = fs.operator(m2, format="bsr", transpose=False)
-    assert isinstance(op2.fwd, ColSegmented)
+    assert getattr(op2.fwd, "is_mono", False) or isinstance(
+        op2.fwd, ColSegmented
+    )
     assert_resident(op2.fwd)
+    X2 = np.asarray(rng.standard_normal((30000, 8)), np.float32)
+    ref2 = (m2 @ X2).astype(np.float64)
+    err2 = np.abs(np.asarray(op2.matmat(X2)) - ref2).max() / np.abs(ref2).max()
+    assert err2 < 1e-6, err2
+
+    # the segmented policy is still exercised when mono is gated off
+    import dataclasses
+
+    from fastsparse.config import DEFAULT
+
+    op3 = fs.operator(
+        m2,
+        format="bsr",
+        transpose=False,
+        config=dataclasses.replace(DEFAULT, bsr_mono="off"),
+    )
+    assert isinstance(op3.fwd, ColSegmented)
+    assert_resident(op3.fwd)

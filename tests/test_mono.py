@@ -1,0 +1,146 @@
+"""Mono-panel layout: structure invariants + oracle parity.
+
+The mono layout executes the whole product in ONE kernel launch
+(`ops.pallas.bsr_spmm.mono_panel_spmm`); these tests shrink the X window
+(`formats.bsr.MONO_WIN_SLABS`) so window straddling and multi-chunk strips
+are exercised at CPU-test scale.
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import fastsparse as fs
+from fastsparse.formats import bsr as fbsr
+
+
+def _banded(rng, nrow, ncol, bw, density=0.3, binary=True):
+    r = rng.integers(0, nrow, int(nrow * bw * density))
+    c = np.clip(
+        (r * (ncol / nrow)).astype(int) + rng.integers(0, bw, r.size),
+        0,
+        ncol - 1,
+    )
+    vals = (
+        np.ones(r.size, np.float32)
+        if binary
+        else rng.standard_normal(r.size).astype(np.float32)
+    )
+    m = sp.coo_matrix((vals, (r, c)), shape=(nrow, ncol))
+    m.sum_duplicates()
+    if binary:
+        m.data[:] = 1.0
+    return m
+
+
+@pytest.fixture
+def small_windows(monkeypatch):
+    # 8-slab (1024-col) windows: strips straddle boundaries at test scale
+    monkeypatch.setattr(fbsr, "MONO_WIN_SLABS", 8)
+
+
+def _rel(y, ref):
+    ref = np.asarray(ref, np.float64)
+    return np.abs(np.asarray(y) - ref).max() / (np.abs(ref).max() + 1e-30)
+
+
+def test_mono_structure_invariants(small_windows):
+    rng = np.random.default_rng(0)
+    m = _banded(rng, 2000, 5000, 300)
+    op = fs.operator(m, format="bsr", transpose=False)
+    A = op.fwd
+    assert A.is_mono
+    b = A.buckets[0]
+    sid = np.asarray(b.strip_ids)
+    # sorted items covering every strip; first flags mark strip starts
+    assert (np.diff(sid) >= 0).all()
+    assert np.unique(sid).size == A.n_strips
+    fst = np.asarray(b.first)
+    starts = np.ones(sid.size, bool)
+    starts[1:] = sid[1:] != sid[:-1]
+    assert (fst == starts).all()
+    # panels stay inside their window
+    assert (np.asarray(b.start_rel) + b.width <= b.win_slabs).all()
+    from fastsparse.utils.debug import validate
+
+    validate(A)
+    # exact structure round-trip
+    D = np.asarray(A.todense(), np.float64)
+    assert np.abs(D - m.toarray()).max() == 0
+
+
+def test_mono_matmat_matvec_oracle(small_windows):
+    rng = np.random.default_rng(1)
+    m = _banded(rng, 2000, 5000, 300)
+    op = fs.operator(m, format="bsr", transpose=True)
+    assert op.fwd.is_mono
+    X = np.asarray(rng.standard_normal((5000, 16)), np.float32)
+    assert _rel(op.matmat(X), m @ X) < 1e-6
+    x = np.asarray(rng.standard_normal(5000), np.float32)
+    assert _rel(op.matvec(x), m @ x) < 1e-6
+    # transpose + normal equations through the dual tiling
+    Yt = np.asarray(rng.standard_normal((2000, 8)), np.float32)
+    assert _rel(op.rmatmat(Yt), m.T @ Yt) < 1e-6
+    assert _rel(op.normal_matmat(X[:, :8]), m.T @ (m @ X[:, :8])) < 1e-5
+
+
+def test_mono_valued_f32(small_windows):
+    rng = np.random.default_rng(2)
+    m = _banded(rng, 1000, 3000, 200, binary=False)
+    op = fs.operator(m, format="bsr", transpose=False)
+    assert op.fwd.is_mono and not op.fwd.binary
+    X = np.asarray(rng.standard_normal((3000, 8)), np.float32)
+    assert _rel(op.matmat(X), m @ X) < 1e-6
+
+
+def test_mono_empty_strips_and_wide_rows(small_windows):
+    # rows 128..383 empty; one row spans 4x the chosen width -> multi-chunk
+    rng = np.random.default_rng(3)
+    rows = np.concatenate(
+        [np.zeros(2048, np.int64), rng.integers(384, 512, 4000)]
+    )
+    cols = np.concatenate(
+        [rng.integers(0, 2048, 2048), rng.integers(0, 400, 4000)]
+    )
+    m = sp.coo_matrix(
+        (np.ones(rows.size, np.float32), (rows, cols)), shape=(512, 2048)
+    )
+    m.sum_duplicates()
+    m.data[:] = 1.0
+    from fastsparse.config import Config
+
+    op = fs.operator(
+        m,
+        format="bsr",
+        transpose=False,
+        config=Config(bsr_mono="force", tile_m=8),
+    )
+    assert op.fwd.is_mono
+    D = np.asarray(op.fwd.todense(), np.float64)
+    assert np.abs(D - m.toarray()).max() == 0
+    X = np.asarray(rng.standard_normal((2048, 8)), np.float32)
+    assert _rel(op.matmat(X), m @ X) < 1e-6
+
+
+def test_mono_vs_segmented_same_result(small_windows):
+    """Mono (windowed, unsegmented) must equal the ColSegmented build."""
+    import dataclasses
+
+    rng = np.random.default_rng(4)
+    m = _banded(rng, 1500, 6000, 250)
+    op_m = fs.operator(m, format="bsr", transpose=False)
+    assert op_m.fwd.is_mono
+    from fastsparse.config import DEFAULT
+
+    op_s = fs.operator(
+        m,
+        format="bsr",
+        transpose=False,
+        config=dataclasses.replace(DEFAULT, bsr_mono="off"),
+    )
+    assert not getattr(op_s.fwd, "is_mono", False)
+    X = np.asarray(rng.standard_normal((6000, 8)), np.float32)
+    ym = np.asarray(op_m.matmat(X), np.float64)
+    ys = np.asarray(op_s.matmat(X), np.float64)
+    ref = (m @ X).astype(np.float64)
+    assert np.abs(ym - ref).max() / np.abs(ref).max() < 1e-6
+    assert np.abs(ys - ref).max() / np.abs(ref).max() < 1e-6

@@ -29,12 +29,27 @@ def _banded_coo(n=1536, bw=512, density=0.35, seed=3):
 
 
 def test_panel_chosen_for_banded():
+    from fastsparse.formats.bsr import MonoPanelBucket
+
     coo, _ = _banded_coo()
     A = build_bsr(coo, config=Config(tile_m=32), dtype=jnp.bfloat16, binary=False)
     assert A.is_panel
-    assert all(isinstance(b, PanelBucket) for b in A.buckets)
+    assert all(
+        isinstance(b, (PanelBucket, MonoPanelBucket)) for b in A.buckets
+    )
     # padding stays tight: ladder widths, ns rounded to 8 (not pow2)
     assert A.padded_tiles <= 1.6 * A.n_tiles
+    # the class-panel layout stays available when mono is gated off
+    import dataclasses
+
+    A2 = build_bsr(
+        coo,
+        config=dataclasses.replace(Config(tile_m=32), bsr_mono="off"),
+        dtype=jnp.bfloat16,
+        binary=False,
+    )
+    assert all(isinstance(b, PanelBucket) for b in A2.buckets)
+    assert A2.padded_tiles <= 1.6 * A2.n_tiles
 
 
 def test_panel_not_chosen_for_scattered():

@@ -38,6 +38,12 @@ __all__ = [
 
 _PAIR_CHUNK = 4096  # tile pairs per batched matmul step
 
+# Measured v5e `lax.sort` rate for the ESC key-sort (3 operands,
+# num_keys=2): 24 ms per 2^23 elements (CLAUDE.md session 5). Each ESC
+# block pays one p_cap-sized sort — the dominant device cost, reported
+# per product as ``info["floor_sort_s"]``.
+ESC_SORT_S_PER_ELEM = 24e-3 / (1 << 23)
+
 
 def _host_coo(mat):
     if isinstance(mat, (CSR, BinaryCSR)):
@@ -54,6 +60,34 @@ def _host_coo(mat):
         return rows, cols, vals, mat.shape
     m = mat.tocoo()  # scipy
     return m.row, m.col, m.data, m.shape
+
+
+def _device_coo(mat):
+    """(rows, cols, vals, valid, shape) as device arrays — zero transfer
+    for fastsparse containers (the round-2 ESC path round-tripped through
+    host numpy: ~0.5 s of upload per product); scipy input uploads once."""
+    if isinstance(mat, (CSR, BinaryCSR)):
+        mat = mat.to_coo()
+    if isinstance(mat, BinaryCOO):
+        ok = mat.valid_mask()
+        return mat.rows, mat.cols, ok.astype(jnp.float32), ok, mat.shape
+    if isinstance(mat, COO):
+        return (
+            mat.rows,
+            mat.cols,
+            mat.vals.astype(jnp.float32),
+            mat.valid_mask(),
+            mat.shape,
+        )
+    m = mat.tocoo()  # scipy
+    r = jnp.asarray(m.row, jnp.int32)
+    return (
+        r,
+        jnp.asarray(m.col, jnp.int32),
+        jnp.asarray(m.data, jnp.float32),
+        jnp.ones(r.shape, bool),
+        m.shape,
+    )
 
 
 def _tile_up(rows, cols, vals, shape, tm, tk):
@@ -542,42 +576,85 @@ def spgemm_device(
 _U32_SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
-@partial(jax.jit, static_argnames=("p_cap",))
-def _esc_block_jit(a_rows, a_cols, a_vals, a_valid, b_ptr, b_cols, b_vals,
-                   *, p_cap):
+def _esc_block_core(a_rows, a_cols, a_vals, a_valid, b_ptr, b_cols, b_vals,
+                    p_cap, pack16=False):
     """One row-block: expand -> key-sort -> segment-reduce -> compact prefix.
 
     Returns ``(rows, cols, vals, n_unique, n_products)``; live output
-    entries occupy ranks ``[0, n_unique)`` of the returned arrays.
+    entries occupy ranks ``[0, n_unique)`` of the returned arrays. Pure
+    function of device arrays — jitted standalone (`_esc_block_jit`) or
+    scanned over stacked row-blocks (`_esc_run`).
+
+    ``pack16``: both output dims < 2^16 — (row, col) pack into ONE uint32
+    sort key, cutting the dominant sort's operand count. Compaction is a
+    rank-keyed SORT, not three scatters: 8M-wide scatters measured
+    ~41 ms each on v5e vs ~30 ms for one extra multi-operand sort pass.
     """
     a_cols_c = jnp.where(a_valid, a_cols, 0)
-    counts = jnp.where(a_valid, b_ptr[a_cols_c + 1] - b_ptr[a_cols_c], 0)
+    pbase_e = b_ptr[a_cols_c]  # entry-level gather: tiny
+    counts = jnp.where(a_valid, b_ptr[a_cols_c + 1] - pbase_e, 0)
     offs_incl = jnp.cumsum(counts)
     total = offs_incl[-1] if counts.shape[0] else jnp.int32(0)
 
-    # product p -> source A entry: mark each entry's run start, then
-    # cummax-fill. (NOT jnp.searchsorted: its binary-search scan measured
-    # 1.02 s at 8M on v5e vs ~2 ms for scatter+cummax.)
+    # Per-product A-side attributes WITHOUT per-product gathers. XLA
+    # gathers at product width measured ~7 ns/element on v5e — 8 of them
+    # were ~0.5 s/iter of the round-2 ESC (scripts/probe_esc_trace_tpu).
+    # Instead, fill-forward by diff-chain: scatter each entry's 32-bit
+    # payload DELTA vs the previous expanding entry at its run start,
+    # then one int32 cumsum over products. Wrapping int32 addition makes
+    # the chain exact for ANY 32-bit payload (f32 via bitcast).
     starts = offs_incl - counts
-    iota_e = jnp.arange(counts.shape[0], dtype=jnp.int32)
-    mark = jnp.full((p_cap,), -1, jnp.int32)
-    mark = mark.at[jnp.where(counts > 0, starts, p_cap)].max(
-        iota_e, mode="drop")
-    src = jnp.maximum(jax.lax.cummax(mark), 0)
+    ne_valid = counts > 0
+    pos = jnp.where(ne_valid, starts, p_cap)
+    ne = counts.shape[0]
+    iota_e = jnp.arange(ne, dtype=jnp.int32)
+    last_ne = jax.lax.cummax(jnp.where(ne_valid, iota_e, -1))
+    prev_ne = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_ne[:-1]])
+
+    def fillp(bits_e):
+        prev = jnp.where(
+            prev_ne >= 0, bits_e[jnp.maximum(prev_ne, 0)], 0
+        )  # entry-level gather: tiny
+        d = jnp.zeros((p_cap,), jnp.int32).at[pos].set(
+            bits_e - prev, mode="drop"
+        )
+        return jnp.cumsum(d)
+
+    rows_f = fillp(a_rows.astype(jnp.int32))
+    boff_f = fillp(pbase_e - starts)  # bpos = this + p
+    abits_f = fillp(
+        jax.lax.bitcast_convert_type(a_vals.astype(jnp.float32), jnp.int32)
+    )
+
     p = jnp.arange(p_cap, dtype=jnp.int32)
     pv = p < total
-    src_c = jnp.where(pv, src, 0)
-    r = p - (offs_incl[src_c] - counts[src_c])
-    bpos = jnp.where(pv, b_ptr[a_cols_c[src_c]] + r, 0)
-    hi = jnp.where(pv, a_rows[src_c].astype(jnp.uint32), _U32_SENTINEL)
-    lo = jnp.where(pv, b_cols[bpos].astype(jnp.uint32), _U32_SENTINEL)
-    val = jnp.where(pv, a_vals[src_c] * b_vals[bpos], 0.0)
+    bpos = jnp.where(pv, boff_f + p, 0)
+    lo32 = b_cols[bpos].astype(jnp.uint32)  # irreducible B-side gather
+    a_val_p = jax.lax.bitcast_convert_type(abits_f, jnp.float32)
+    val = jnp.where(pv, a_val_p * b_vals[bpos], 0.0)
 
-    hi_s, lo_s, val_s = jax.lax.sort([hi, lo, val], num_keys=2)
-    valid_s = hi_s != _U32_SENTINEL
-    newseg = jnp.concatenate(
-        [jnp.ones((1,), bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
-    ) & valid_s
+    if pack16:
+        key = jnp.where(
+            pv,
+            (rows_f.astype(jnp.uint32) << 16) | lo32,
+            _U32_SENTINEL,
+        )
+        key_s, val_s = jax.lax.sort([key, val], num_keys=1)
+        valid_s = key_s != _U32_SENTINEL
+        newseg = jnp.concatenate(
+            [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]
+        ) & valid_s
+    else:
+        hi = jnp.where(pv, rows_f.astype(jnp.uint32), _U32_SENTINEL)
+        lo = jnp.where(pv, lo32, _U32_SENTINEL)
+        hi_s, lo_s, val_s = jax.lax.sort([hi, lo, val], num_keys=2)
+        valid_s = hi_s != _U32_SENTINEL
+        newseg = jnp.concatenate(
+            [
+                jnp.ones((1,), bool),
+                (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+            ]
+        ) & valid_s
     rank = jnp.cumsum(newseg.astype(jnp.int32)) - 1
     n_unique = newseg.sum()
 
@@ -593,14 +670,110 @@ def _esc_block_jit(a_rows, a_cols, a_vals, a_valid, b_ptr, b_cols, b_vals,
         v = v + jnp.where(same, shifted, 0.0)
         d <<= 1
 
-    is_end = jnp.concatenate([seg[:-1] != seg[1:], jnp.ones((1,), bool)]) & valid_s
-    out_idx = jnp.where(is_end, rank, p_cap)
-    rows_o = jnp.zeros(p_cap, jnp.int32).at[out_idx].set(
-        hi_s.astype(jnp.int32), mode="drop")
-    cols_o = jnp.zeros(p_cap, jnp.int32).at[out_idx].set(
-        lo_s.astype(jnp.int32), mode="drop")
-    vals_o = jnp.zeros(p_cap, jnp.float32).at[out_idx].set(v, mode="drop")
+    is_end = (
+        jnp.concatenate([seg[:-1] != seg[1:], jnp.ones((1,), bool)]) & valid_s
+    )
+    # compact by a rank-keyed sort (ends first, in rank order)
+    ckey = jnp.where(is_end, rank, jnp.int32(p_cap))
+    if pack16:
+        _, hilo_o, vals_o = jax.lax.sort([ckey, key_s, v], num_keys=1)
+        rows_o = (hilo_o >> 16).astype(jnp.int32)
+        cols_o = (hilo_o & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    else:
+        _, rows_u, cols_u, vals_o = jax.lax.sort(
+            [ckey, hi_s, lo_s, v], num_keys=1
+        )
+        rows_o = rows_u.astype(jnp.int32)
+        cols_o = cols_u.astype(jnp.int32)
+    # padding slots past n_unique carry sentinel-derived ids; zero them so
+    # downstream COO consumers see harmless (0, 0, 0.0) entries
+    live = jnp.arange(p_cap, dtype=jnp.int32) < n_unique
+    rows_o = jnp.where(live, rows_o, 0)
+    cols_o = jnp.where(live, cols_o, 0)
+    vals_o = jnp.where(live, vals_o, 0.0)
     return rows_o, cols_o, vals_o, n_unique, total
+
+
+_esc_block_jit = partial(jax.jit, static_argnames=("p_cap", "pack16"))(
+    lambda a_rows, a_cols, a_vals, a_valid, b_ptr, b_cols, b_vals, *, p_cap,
+    pack16=False:
+    _esc_block_core(a_rows, a_cols, a_vals, a_valid, b_ptr, b_cols, b_vals,
+                    p_cap, pack16)
+)
+
+
+@partial(jax.jit, static_argnames=("kb", "ma"))
+def _esc_prep(ar, ac, av, aok, br, bc, bv, bok, *, kb, ma):
+    """Device prep for ESC: CSR-ify B, row-sort A, per-row product/entry
+    prefix tables. Everything stays on device; the caller fetches only the
+    two ``ma``-length tables to place row-aligned block boundaries.
+
+    Invalid (padding) entries sort to dump rows ``kb``/``ma`` and never
+    enter ``b_ptr`` or any block's entry range."""
+    brd = jnp.where(bok, br, kb).astype(jnp.int32)
+    br_s, bc_s, bv_s = jax.lax.sort([brd, bc, bv], num_keys=1)
+    cnt_b = jnp.zeros((kb + 1,), jnp.int32).at[brd].add(1)
+    b_ptr = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_b[:kb])]
+    )
+    ard = jnp.where(aok, ar, ma).astype(jnp.int32)
+    ar_s, ac_s, av_s, ok_s = jax.lax.sort(
+        [ard, ac, av, aok.astype(jnp.int32)], num_keys=1
+    )
+    okb = ok_s == 1
+    ac_c = jnp.where(okb, ac_s, 0)
+    cnt = jnp.where(okb, b_ptr[ac_c + 1] - b_ptr[ac_c], 0)
+    # int32 throughout (x64 is off on TPU): total products must stay
+    # < 2^31 — the benched workloads are O(10^7); larger jobs shard A
+    ccnt = jnp.cumsum(cnt.astype(jnp.int32))
+    # per-row cumulative products / entry count at the row's last entry
+    # (rows with no entries stay 0 — host cummax-fills)
+    rid = jnp.where(okb, ar_s, ma)
+    prod_end = jnp.zeros((ma,), jnp.int32).at[rid].max(ccnt, mode="drop")
+    ent_end = jnp.zeros((ma,), jnp.int32).at[rid].max(
+        jnp.arange(1, ar_s.shape[0] + 1, dtype=jnp.int32), mode="drop"
+    )
+    return ar_s, ac_s, av_s, okb, bc_s, bv_s, b_ptr, prod_end, ent_end
+
+
+@partial(jax.jit, static_argnames=("p_cap", "na", "pack16"))
+def _esc_run(ar_s, ac_s, av_s, okb, e_lo, e_hi, b_ptr, bc_s, bv_s,
+             *, p_cap, na, pack16=False):
+    """All row-blocks in ONE dispatch: device gather of each block's entry
+    range into a uniform ``(nb, na)`` stack, then `lax.scan` of the ESC
+    core over blocks (replaces the round-2 host loop of per-block jit
+    calls, spgemm.py:686-692 then)."""
+    idx = e_lo[:, None] + jnp.arange(na, dtype=jnp.int32)[None, :]
+    m = idx < e_hi[:, None]
+    idc = jnp.where(m, idx, 0)
+    rows = jnp.where(m, ar_s[idc], 0)
+    cols = jnp.where(m, ac_s[idc], 0)
+    vals = jnp.where(m, av_s[idc], 0.0)
+    okm = m & okb[idc]
+
+    def step(_, xs):
+        r, c, v, o = xs
+        return None, _esc_block_core(
+            r, c, v, o, b_ptr, bc_s, bv_s, p_cap, pack16
+        )
+
+    _, outs = jax.lax.scan(step, None, (rows, cols, vals, okm))
+    return outs  # (rows, cols, vals) stacked (nb, p_cap) + ns, totals (nb,)
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def _esc_compact(rows_b, cols_b, vals_b, ns, offs, *, out_cap):
+    """Concatenate per-block compact prefixes into one COO triple."""
+    pc = rows_b.shape[1]
+    k = jnp.arange(pc, dtype=jnp.int32)[None, :]
+    pos = jnp.where(k < ns[:, None], offs[:, None] + k, out_cap)
+    ro = jnp.zeros((out_cap,), jnp.int32).at[pos.ravel()].set(
+        rows_b.ravel(), mode="drop")
+    co = jnp.zeros((out_cap,), jnp.int32).at[pos.ravel()].set(
+        cols_b.ravel(), mode="drop")
+    vo = jnp.zeros((out_cap,), jnp.float32).at[pos.ravel()].set(
+        vals_b.ravel(), mode="drop")
+    return ro, co, vo
 
 
 def spgemm_esc(A, B, config: Config = DEFAULT, p_cap: int | None = None):
@@ -613,99 +786,77 @@ def spgemm_esc(A, B, config: Config = DEFAULT, p_cap: int | None = None):
     bounds products per device call (default ≤ 2^23); larger expansions
     run as row-disjoint A-blocks whose outputs concatenate directly.
     """
-    ra, ca, va, (ma, ka) = _host_coo(A)
-    rb, cb, vb, (kb, nb) = _host_coo(B)
+    ra, ca, va, aok, (ma, ka) = _device_coo(A)
+    rb, cb, vb, bok, (kb, nb) = _device_coo(B)
     if ka != kb:
         raise ValueError(f"inner dims mismatch: {ka} vs {kb}")
-
-    # host-side CSR of B (row pointers for the expansion index math)
-    order = np.argsort(rb, kind="stable")
-    rb_s, cb_s, vb_s = rb[order], cb[order], vb[order]
-    b_ptr = np.zeros(kb + 1, np.int64)
-    np.cumsum(np.bincount(rb_s, minlength=kb), out=b_ptr[1:])
-
-    # A entries row-sorted so blocks are row-disjoint
-    aorder = np.argsort(ra, kind="stable")
-    ra_s, ca_s, va_s = ra[aorder], ca[aorder], va[aorder]
-    counts = (b_ptr[ca_s + 1] - b_ptr[ca_s]).astype(np.int64)
-    P = int(counts.sum())
-    info = {"n_products": P, "flops": 2 * P}
-
-    if P == 0 or ra_s.size == 0:
-        info["nnz"] = info["est_nnz"] = 0
+    if ra.shape[0] == 0 or rb.shape[0] == 0 or kb == 0:
+        info = {"n_products": 0, "flops": 0, "nnz": 0, "est_nnz": 0}
         C = COO.from_arrays(
-            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
             np.zeros(0, np.float32), (ma, nb))
         return C, info
 
-    # products per A row -> row-disjoint blocks under the cap
-    row_end = np.searchsorted(ra_s, np.unique(ra_s), side="right")
-    prod_at_row_end = np.cumsum(counts)[row_end - 1]
-    max_row_p = int(np.max(np.diff(np.concatenate([[0], prod_at_row_end]))))
+    # device prep: B CSR-ified, A row-sorted, per-row prefix tables
+    (ar_s, ac_s, av_s, okb, bc_s, bv_s, b_ptr, prod_end_d, ent_end_d) = (
+        _esc_prep(ra, ca, va, aok, rb, cb, vb, bok, kb=int(kb), ma=int(ma))
+    )
+    # ONE small fetch (2·ma int32) to place row-aligned block boundaries
+    tables = np.asarray(jnp.stack([prod_end_d, ent_end_d]))
+    prod_end = np.maximum.accumulate(tables[0].astype(np.int64))
+    ent_end = np.maximum.accumulate(tables[1].astype(np.int64))
+    P = int(prod_end[-1])
+    info = {"n_products": P, "flops": 2 * P}
+    if P == 0:
+        info["nnz"] = info["est_nnz"] = 0
+        C = COO.from_arrays(
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
+            np.zeros(0, np.float32), (ma, nb))
+        return C, info
+
+    row_p = np.diff(np.concatenate([[0], prod_end]))
     cap = p_cap or min(max(_pow2(P), 8), 1 << 23)
-    cap = max(cap, _pow2(max_row_p))
-
-    b_ptr_d = jnp.asarray(b_ptr, jnp.int32)
-    b_cols_d = jnp.asarray(cb_s, jnp.int32)
-    b_vals_d = jnp.asarray(vb_s, jnp.float32)
-
-    # block boundaries: greedy fill to cap, split only at row ends
+    cap = max(cap, _pow2(int(row_p.max())))
+    # greedy row-aligned blocks under the cap (row-disjoint outputs)
     bounds = [0]
-    while bounds[-1] < row_end.size:
-        lo_e = 0 if bounds[-1] == 0 else prod_at_row_end[bounds[-1] - 1]
-        nxt = int(np.searchsorted(prod_at_row_end, lo_e + cap, side="right"))
+    while bounds[-1] < ma:
+        base = 0 if bounds[-1] == 0 else int(prod_end[bounds[-1] - 1])
+        nxt = int(np.searchsorted(prod_end, base + cap, side="right"))
         bounds.append(max(nxt, bounds[-1] + 1))
-    # stack all blocks into uniform (n_blocks, na_max) arrays so the host
-    # -> device upload is ONE transfer set (per-block uploads are
-    # RTT-bound through the remote tunnel); blocks then slice on device
-    spans = []
-    for lo_r, hi_r in zip(bounds[:-1], bounds[1:]):
-        e_lo = 0 if lo_r == 0 else int(row_end[lo_r - 1])
-        e_hi = int(row_end[hi_r - 1])
-        blk_p = int(counts[e_lo:e_hi].sum())
-        if blk_p > cap:  # greedy invariant: cap >= max single-row expansion
-            raise AssertionError(
-                f"ESC block products {blk_p} exceed cap {cap}")
-        spans.append((e_lo, e_hi))
-    na = _pow2(max(max(e_hi - e_lo for e_lo, e_hi in spans), 8))
-    nb_blk = len(spans)
-    a_rows = np.zeros((nb_blk, na), np.int32)
-    a_cols = np.zeros((nb_blk, na), np.int32)
-    a_vals = np.zeros((nb_blk, na), np.float32)
-    valid = np.zeros((nb_blk, na), bool)
-    for i, (e_lo, e_hi) in enumerate(spans):
-        w = e_hi - e_lo
-        a_rows[i, :w] = ra_s[e_lo:e_hi]
-        a_cols[i, :w] = ca_s[e_lo:e_hi]
-        a_vals[i, :w] = va_s[e_lo:e_hi]
-        valid[i, :w] = True
-    a_rows_d = jnp.asarray(a_rows)
-    a_cols_d = jnp.asarray(a_cols)
-    a_vals_d = jnp.asarray(a_vals)
-    valid_d = jnp.asarray(valid)
-    parts = [
-        _esc_block_jit(
-            a_rows_d[i], a_cols_d[i], a_vals_d[i], valid_d[i],
-            b_ptr_d, b_cols_d, b_vals_d, p_cap=cap,
-        )
-        for i in range(nb_blk)
-    ]
-    # fetch only the per-block scalar counts; the output entries stay on
-    # device (single block: zero-copy full-capacity arrays + n_valid —
-    # padding beyond the prefix is all-zero by construction)
-    ns = [int(p[3]) for p in parts]
-    n_est = int(sum(ns))
-    info["nnz"] = info["est_nnz"] = n_est
-    info["p_cap"] = cap
-    info["n_blocks"] = len(parts)
-    if len(parts) == 1:
-        rows_o, cols_o, vals_o = parts[0][:3]
+    e_bnd = [0] + [int(ent_end[r - 1]) for r in bounds[1:]]
+    e_lo = np.asarray(e_bnd[:-1], np.int32)
+    e_hi = np.asarray(e_bnd[1:], np.int32)
+    na = _pow2(max(int((e_hi - e_lo).max()), 8))
+
+    # all blocks in ONE dispatch; outputs stay on device
+    # both output dims < 2^16: (row, col) pack into one uint32 sort key
+    pack16 = ma <= 0xFFFF and nb <= 0x10000
+    rows_b, cols_b, vals_b, ns_d, _tot = _esc_run(
+        ar_s, ac_s, av_s, okb,
+        jnp.asarray(e_lo), jnp.asarray(e_hi),
+        b_ptr, bc_s, bv_s, p_cap=int(cap), na=int(na), pack16=pack16,
+    )
+    ns = np.asarray(ns_d).astype(np.int64)  # (n_blocks,) small fetch
+    total = int(ns.sum())
+    info["nnz"] = info["est_nnz"] = total
+    info["p_cap"] = int(cap)
+    info["n_blocks"] = int(ns.shape[0])
+    # device floor: each block pays one p_cap-sized 3-operand lax.sort
+    # (measured ESC_SORT_S_PER_ELEM on v5e) — the dominant device cost
+    info["floor_sort_s"] = round(
+        float(ns.shape[0]) * ESC_SORT_S_PER_ELEM * cap, 6
+    )
+    if ns.shape[0] == 1:
+        C = COO(rows=rows_b[0], cols=cols_b[0], vals=vals_b[0],
+                shape=(ma, nb), n_valid=total)
     else:
-        rows_o = jnp.concatenate([p[0][:n] for p, n in zip(parts, ns)])
-        cols_o = jnp.concatenate([p[1][:n] for p, n in zip(parts, ns)])
-        vals_o = jnp.concatenate([p[2][:n] for p, n in zip(parts, ns)])
-    C = COO(rows=rows_o, cols=cols_o, vals=vals_o, shape=(ma, nb),
-            n_valid=n_est)
+        offs = np.zeros(ns.shape[0], np.int64)
+        np.cumsum(ns[:-1], out=offs[1:])
+        ro, co, vo = _esc_compact(
+            rows_b, cols_b, vals_b, ns_d,
+            jnp.asarray(offs, jnp.int32), out_cap=_pow2(max(total, 8)),
+        )
+        C = COO(rows=ro, cols=co, vals=vo, shape=(ma, nb), n_valid=total)
     return C, info
 
 

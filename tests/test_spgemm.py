@@ -212,3 +212,32 @@ def test_spgemm_default_method_is_esc():
         C_out.to_scipy().toarray(), C2.to_scipy().toarray(),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_spgemm_esc_wide_dims_unpacked_keys():
+    """ncol > 2^16 disables the packed 16:16 sort key — covers the
+    (hi, lo) two-key sort and 4-operand compaction sort path."""
+    from fastsparse.ops.spgemm import spgemm_esc
+
+    rng = np.random.default_rng(21)
+    A = sp.coo_matrix(
+        (
+            rng.standard_normal(500).astype(np.float32),
+            (rng.integers(0, 80, 500), rng.integers(0, 300, 500)),
+        ),
+        shape=(80, 300),
+    ).tocsr()
+    B = sp.coo_matrix(
+        (
+            rng.standard_normal(900).astype(np.float32),
+            (rng.integers(0, 300, 900), rng.integers(0, 70_000, 900)),
+        ),
+        shape=(300, 70_000),
+    ).tocsr()
+    C_out, info = spgemm_esc(A, B)
+    ref = (A @ B).tocsr()
+    assert info["nnz"] == ref.nnz
+    got = C_out.to_scipy().tocsr()
+    d = np.abs(got - ref)
+    rel = float(d.max() / (np.abs(ref).max() + 1e-30)) if d.nnz else 0.0
+    assert rel < 1e-5

@@ -129,7 +129,12 @@ def child() -> None:
     from fastsparse.bench.matrices import banded, powerlaw
     from fastsparse.bench.metrics import format_stats, tree_nbytes
     from fastsparse.bench.sol import measure_hbm_bw, spmm_sol_seconds
-    from fastsparse.bench.timing import time_fn
+    from fastsparse.bench.timing import (
+        measure_rtt,
+        time_fn,
+        time_fn_stats,
+        time_scan,
+    )
     from fastsparse.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -148,7 +153,18 @@ def child() -> None:
     ref = (mb @ np.asarray(X)).astype(np.float64)
     err = float(np.abs(Y - ref).max() / (np.abs(ref).max() + 1e-30))
     assert err < 1e-6, f"wrong result: rel={err}"
-    dt = time_fn(step, op, X, reps=20)
+    # variance evidence (VERDICT r2 #9): independent fetch batches +
+    # probe RTT so a bad tunnel hour is distinguishable from a regression
+    tstats = time_fn_stats(step, op, X, batches=5, reps=20)
+    dt = tstats["median_ms"] * 1e-3
+    # device-chained busy (one dispatch, 30 data-coupled products): wall
+    # minus this is per-dispatch tunnel/host overhead, not kernel time
+    try:
+        busy_ms = round(
+            time_scan(lambda X: op.matmat(X), X, iters=30) * 1e3, 3
+        )
+    except Exception:  # pragma: no cover - square-shape-only helper
+        busy_ms = None
 
     bw = measure_hbm_bw()
     sol = spmm_sol_seconds(*mb.shape, nnz, n_rhs, bw, binary=True)
@@ -168,6 +184,8 @@ def child() -> None:
 
     detail = {
         "ms_per_spmm": round(dt * 1e3, 3),
+        "busy_ms": busy_ms,
+        "timing": tstats,
         "gflops": round(2 * nnz * n_rhs / dt / 1e9, 1),
         "rel_err": err,
         "hbm_bw_GBs": round(bw / 1e9, 1),
@@ -178,8 +196,33 @@ def child() -> None:
         "format": stats.get("format", "?"),
         "matrix": f"banded 50k bw512 binary nnz={nnz}",
         "n_rhs": n_rhs,
+        "rtt_ms": round(measure_rtt() * 1e3, 2),
         "backend": jax.default_backend(),
     }
+
+    # --- detail: SpMV (BASELINE's named north-star metric) ---------------
+    try:
+        x1 = X[:, :1]
+        stepv = jax.jit(lambda op, x: op.matmat(x))
+        y1 = np.asarray(stepv(op, x1))
+        ref1 = ref[:, :1]
+        err1 = float(np.abs(y1 - ref1).max() / (np.abs(ref1).max() + 1e-30))
+        assert err1 < 1e-6, f"wrong SpMV result: rel={err1}"
+        ts1 = time_fn_stats(stepv, op, x1, batches=3, reps=20)
+        dt1 = ts1["median_ms"] * 1e-3
+        bound1 = (a_bytes + (mb.shape[1] + mb.shape[0]) * 4) / bw
+        sol1 = spmm_sol_seconds(*mb.shape, nnz, 1, bw, binary=True)
+        detail["spmv"] = {
+            "ms": round(dt1 * 1e3, 3),
+            "nnz_per_s": round(nnz / dt1, 1),
+            "rel_err": err1,
+            "sol_fraction": round(sol1 / dt1, 4),
+            "format_bound_ms": round(bound1 * 1e3, 3),
+            "format_frac": round(bound1 / dt1, 4),
+            "timing": ts1,
+        }
+    except Exception as e:  # pragma: no cover - best-effort detail
+        detail["spmv"] = {"error": repr(e)[:200]}
 
     # --- detail: hypersparse power-law via the gather engine -------------
     # Optional: a failure here must not cost the headline record.
@@ -195,10 +238,19 @@ def child() -> None:
         errp = float(np.abs(Yp - refp).max() / (np.abs(refp).max() + 1e-30))
         assert errp < 1e-5, f"wrong hypersparse result: rel={errp}"
         dtp = time_fn(stepp, opp, Xp, reps=10)
+        # the gather engine's own floor (measured ns/slot x padded slots):
+        # sol_frac reads as ~0 on hypersparse structure, but the kernel
+        # runs near ITS bound — emit both (VERDICT r2 weak #5)
+        from fastsparse.bench.metrics import tree_nbytes as _tnb
+        from fastsparse.bench.model import GATHER_PAD, GATHER_SLOT_S
+
+        floor_ms = GATHER_SLOT_S * GATHER_PAD * int(mp.nnz) * 1e3
         detail["hypersparse_powerlaw"] = {
             "ms": round(dtp * 1e3, 3),
             "nnz_per_s": round(mp.nnz / dtp, 1),
             "rel_err": errp,
+            "engine_floor_ms": round(floor_ms, 3),
+            "engine_frac": round(floor_ms / (dtp * 1e3), 4),
             "matrix": f"65536^2 powerlaw nnz={int(mp.nnz)}",
         }
     except Exception as e:  # pragma: no cover - best-effort detail

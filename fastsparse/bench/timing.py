@@ -97,18 +97,20 @@ def time_scan(fn: Callable, x0, iters: int = 50, batches: int = 3) -> float:
     device-busy time per product (docs/TRACE.md found wall ≈ 2× busy at
     N=128; this separates the two in bench rows).
 
-    ``fn`` must accept and ignore extra output shape: each iteration is
-    chained with `lax.optimization_barrier` so XLA cannot elide or overlap
-    the repeated products even though the carry value never changes.
+    Each iteration's carry GENUINELY depends on the previous product —
+    ``x[0,0] += 1e-38 · y[0,0]`` — because XLA hoists loop-invariant
+    computations out of while loops (an `optimization_barrier` variant
+    measured 0.000 ms: the product was elided). The single-element
+    update is in-place inside the loop body; the perturbation is below
+    f32 resolution of any realistic operand.
     """
     rtt = measure_rtt()
+    eps = jnp.asarray(1e-38, jnp.float32)
 
     def body(_, x):
         y = fn(x)
-        # barrier bundles (x, y): the next iteration's x depends on this
-        # iteration's product without changing its value or shape
-        x2, _ = jax.lax.optimization_barrier((x, y))
-        return x2
+        d = (eps * y[:1, :1].astype(jnp.float32)).astype(x.dtype)
+        return x.at[:1, :1].add(d)
 
     g = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
     fetch_scalar(g(x0))  # compile + warm

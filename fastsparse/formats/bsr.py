@@ -26,7 +26,7 @@ avoiding any in-kernel shuffle.
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,7 @@ __all__ = [
     "BsrBucket",
     "PanelBucket",
     "MonoPanelBucket",
+    "MonoGroupBucket",
     "BsrMatrix",
     "build_bsr",
     "expand_bits_reference",
@@ -124,6 +125,11 @@ class MonoPanelBucket:
       output block — items of one strip are adjacent by construction).
 
     Empty strips carry one zero item so every output block is written.
+    Coverage extends past the matrix's own strips to ``out_strips``
+    (zero items): the kernel's raw output is padded to whole X-windows of
+    the *transpose* tiling's geometry, so chained products (normal
+    equations — the reference's ``bcsr_AA_mul_B``, SURVEY.md §3.3) feed
+    the next mono kernel directly with no pad/trim copies.
     """
 
     strip_ids: jax.Array  # int32[ni] — ascending
@@ -134,10 +140,51 @@ class MonoPanelBucket:
     width: int = static_field()  # W: slabs per item (PK = W·TK)
     win_slabs: int = static_field()
     n_windows: int = static_field()
+    out_strips: int = static_field(default=0)  # covered output row blocks
+    # side-bucket use (grouped layouts): local strip k holds GLOBAL strip
+    # strip_map[k]; the kernel output scatter-adds into those row blocks
+    strip_map: Optional[jax.Array] = None
 
     @property
     def ns(self) -> int:
         return int(self.strip_ids.shape[0])
+
+    @property
+    def ntiles(self) -> int:  # tile-equivalents (metrics compat)
+        return self.width
+
+    @property
+    def is_binary(self) -> bool:
+        return self.panels.dtype == jnp.uint32
+
+
+@pytree_dataclass
+class MonoGroupBucket:
+    """Grouped single-launch layout: exactly ONE uniform-width item per
+    output strip, ``group`` strips per grid step.
+
+    The per-item overhead of the general mono kernel (G=1) measured
+    ~550 ns against a ~300 ns DMA floor; grouping G strips per step (the
+    class-panel kernel's SG trick) cut it ~3.3x (probe_mono3/4). The
+    preconditions — one item per strip, G-aligned groups sharing one
+    prefetched X window, write-once output — are bought at build time:
+    entries a strip's single item cannot cover (span > W, window clamp at
+    group-window edges) spill into a SIDE :class:`MonoPanelBucket`
+    (local strips + ``strip_map``) whose output scatter-adds into Y.
+    """
+
+    windows: jax.Array  # int32[ns//group] — X window block per strip group
+    start_rel: jax.Array  # int32[ns] — item start slab, window-relative
+    panels: jax.Array  # dtype[ns,TM,PK] | uint32[ns,TM,PK//32] bits
+    width: int = static_field()  # W: slabs per item (PK = W·TK)
+    win_slabs: int = static_field()
+    n_windows: int = static_field()
+    group: int = static_field()  # G strips per grid step
+    out_strips: int = static_field(default=0)  # == ns (chain padding incl)
+
+    @property
+    def ns(self) -> int:
+        return int(self.start_rel.shape[0])
 
     @property
     def ntiles(self) -> int:  # tile-equivalents (metrics compat)
@@ -185,20 +232,26 @@ class BsrMatrix:
         b = self.buckets[0]
         return (
             b.panels
-            if isinstance(b, (PanelBucket, MonoPanelBucket))
+            if isinstance(b, (PanelBucket, MonoPanelBucket, MonoGroupBucket))
             else b.tiles
         ).dtype
 
     @property
     def is_panel(self) -> bool:
         return bool(self.buckets) and isinstance(
-            self.buckets[0], (PanelBucket, MonoPanelBucket)
+            self.buckets[0], (PanelBucket, MonoPanelBucket, MonoGroupBucket)
         )
 
     @property
     def is_mono(self) -> bool:
         return bool(self.buckets) and isinstance(
-            self.buckets[0], MonoPanelBucket
+            self.buckets[0], (MonoPanelBucket, MonoGroupBucket)
+        )
+
+    @property
+    def is_mono_grouped(self) -> bool:
+        return bool(self.buckets) and isinstance(
+            self.buckets[0], MonoGroupBucket
         )
 
     @property
@@ -216,20 +269,32 @@ class BsrMatrix:
         TM, TK = self.tile_m, self.tile_k
         nsp, nsl = self.n_strips, self.n_slabs
         if self.is_mono:
-            b = self.buckets[0]
-            PK = b.width * TK
-            wide = max(b.n_windows * b.win_slabs, nsl) * TK
+            wide = nsl * TK
+            for b in self.buckets:
+                wide = max(wide, b.n_windows * b.win_slabs * TK)
             outp = jnp.zeros((nsp + 1, TM, wide), self.dtype)
-            panels = b.panels
-            if self.binary:
-                panels = expand_bits_reference(panels, PK).astype(self.dtype)
-            start = b.window * b.win_slabs + b.start_rel  # absolute slabs
-            cols = start[:, None] * TK + jnp.arange(PK)[None, :]
-            outp = outp.at[
-                b.strip_ids[:, None, None],
-                jnp.arange(TM)[None, :, None],
-                cols[:, None, :],
-            ].add(panels)
+            for b in self.buckets:
+                PK = b.width * TK
+                panels = b.panels
+                if self.binary:
+                    panels = expand_bits_reference(panels, PK).astype(
+                        self.dtype
+                    )
+                if isinstance(b, MonoGroupBucket):
+                    sids = jnp.arange(b.ns, dtype=jnp.int32)
+                    win = b.windows[sids // b.group]
+                else:
+                    sids = b.strip_ids
+                    win = b.window
+                    if b.strip_map is not None:
+                        sids = b.strip_map[sids]
+                start = win * b.win_slabs + b.start_rel  # absolute slabs
+                cols = start[:, None] * TK + jnp.arange(PK)[None, :]
+                outp = outp.at[
+                    sids[:, None, None],
+                    jnp.arange(TM)[None, :, None],
+                    cols[:, None, :],
+                ].add(panels)
             dense = outp[:nsp, :, : nsl * TK].reshape(nsp * TM, nsl * TK)
             return dense[: self.shape[0], : self.shape[1]]
         if self.is_panel:
@@ -342,11 +407,13 @@ def _panel_footprint(wq: np.ndarray, ne: np.ndarray) -> int:
     return slabs
 
 
-# Mono-panel geometry: X window size (slabs) such that an f32 (win·TK, 128)
-# X window fits the 12 MB VMEM residency budget; per-item fixed cost in
-# slab-equivalents (grid step + dynamic slice + dot issue ≈ the DMA time of
-# ~2 slabs — calibrated against the measured ~0.4 µs/strip panel overhead).
-MONO_WIN_SLABS = 192
+# Mono-panel geometry: X window size (slabs). The window block is
+# double-buffered by the Pallas pipeline, so 2·(win·TK·128·4 B) must fit
+# alongside panels/out in the ~16 MB VMEM: win=80 → 2×5.24 MB. Measured
+# (probe_mono_tpu 2026-08-20): win 64/80/96 within noise at the headline;
+# 192 still compiled but mispicks W through the piece model. Per-item
+# fixed cost in slab-equivalents for the width choice below.
+MONO_WIN_SLABS = 80
 MONO_ITEM_SLABS = 2
 MONO_MAX_ITEMS = 48_000  # 4 prefetched int32 arrays must fit 1 MB SMEM
 # Accept mono when its padded footprint is within this factor of the best
@@ -373,6 +440,20 @@ def _mono_pieces(smin, smax, ne, win_slabs):
     return p_strip, p_lo, p_hi - p_lo + 1
 
 
+def _mono_pad_strips(nrow: int, TM: int, TK: int) -> int:
+    """Output row blocks a mono build covers: at least the matrix's own
+    strips, padded up to whole X-windows of the *transpose* mono tiling's
+    geometry (its padded X extent over ``nrow`` columns). A partner mono
+    tiling of ``Aᵀ`` can then consume the raw kernel output directly —
+    normal-equation chains (`ops.bsr_ops.mono_chain`) skip every pad/trim
+    copy between the two launches."""
+    n_slabs_t = max(-(-nrow // TK), 1)
+    win = min(MONO_WIN_SLABS, n_slabs_t)
+    pad_rows = -(-n_slabs_t // win) * win * TK
+    pad_rows = max(pad_rows, -(-nrow // TM) * TM)
+    return -(-pad_rows // TM)
+
+
 def _mono_width(p_len: np.ndarray, win_slabs: int, n_empty: int):
     """Pick the uniform item width W from the panel ladder minimizing the
     modeled cost  items·(W + ITEM_SLABS)  in slab-equivalents."""
@@ -385,17 +466,10 @@ def _mono_width(p_len: np.ndarray, win_slabs: int, n_empty: int):
     return best_w, best_cost
 
 
-def _build_mono(
-    rows, cols, coo, is_bin_in, binary, dtype, shape,
-    n_strips, n_slabs, TM, TK, W, win_slabs,
-    p_strip, p_lo, p_len, n_tiles,
-) -> BsrMatrix:
-    """Mono-panel build: emit the uniform-width item list (strip, window,
-    start_rel, first) + one flat panel fill. See :class:`MonoPanelBucket`."""
-    nrow, ncol = shape
-    n_windows = max(-(-n_slabs // win_slabs), 1)
-
-    # chunk every piece into ceil(len/W) items of width <= W
+def _mono_item_list(p_strip, p_lo, p_len, W, win_slabs, cover_strips):
+    """Chunk pieces into uniform-width items + zero items for uncovered
+    strips in ``[0, cover_strips)``. Returns (it_strip, it_lo, it_win,
+    it_start, first), sorted by (strip, lo)."""
     nch = (-(-p_len // W)).astype(np.int64)
     ni_real = int(nch.sum())
     it_strip = np.repeat(p_strip, nch)
@@ -404,10 +478,8 @@ def _build_mono(
     it_win = it_lo // win_slabs
     # left-clamp so the whole W-wide panel stays inside the item's window
     it_start = np.minimum(it_lo, (it_win + 1) * win_slabs - W)
-
-    # empty strips: one zero item each (every output block must be written)
     empty = np.setdiff1d(
-        np.arange(n_strips, dtype=np.int64), np.unique(it_strip)
+        np.arange(cover_strips, dtype=np.int64), np.unique(it_strip)
     )
     if empty.size:
         it_strip = np.concatenate([it_strip, empty])
@@ -421,16 +493,24 @@ def _build_mono(
     ni = it_strip.size
     first = np.ones(ni, np.int32)
     first[1:] = (it_strip[1:] != it_strip[:-1]).astype(np.int32)
+    return it_strip, it_lo, it_win, it_start, first
 
-    # entry -> item: items sorted by (strip, lo); an entry belongs to the
-    # last item of its strip whose chunk lo <= its slab
-    key_it = it_strip * np.int64(n_slabs + 1) + it_lo
-    strip = rows // TM
-    slab = cols // TK
-    key_en = strip * np.int64(n_slabs + 1) + slab
-    item = np.searchsorted(key_it, key_en, side="right") - 1
-    lcol = cols - it_start[item] * TK  # it_start is absolute slabs
 
+def _mono_vals(coo, is_bin_in, dtype, n, sel=None):
+    """Device value vector for a (subset of the) entry list."""
+    if is_bin_in:
+        return jnp.ones((n,), dtype or jnp.float32)
+    v = coo.vals[: coo.n_valid]
+    if dtype is not None:
+        v = v.astype(dtype)
+    if sel is not None:
+        v = jnp.take(v, jnp.asarray(sel), axis=0)
+    return v
+
+
+def _mono_fill(rows, cols, item, start_abs, ni, TM, TK, W, binary, vals_dev):
+    """One flat device scatter of entries into (ni, TM, PK) panels."""
+    lcol = cols - start_abs[item] * TK
     PK = W * TK
     PKW = PK // 32
     per = TM * (PKW if binary else PK)
@@ -445,22 +525,51 @@ def _build_mono(
             jnp.asarray(bit, jnp.int32),
             jnp.ones((slot.shape[0],), bool),
         )
-        panels = flat[: ni * per].reshape(ni, TM, PKW)
-    else:
-        slot = item * per + (rows % TM) * PK + lcol
-        if is_bin_in:
-            vals_dev = jnp.ones((rows.shape[0],), dtype or jnp.float32)
-        else:
-            vals_dev = coo.vals[: coo.n_valid]
-            if dtype is not None:
-                vals_dev = vals_dev.astype(dtype)
-        flat = _fill_flat_vals(
-            jnp.zeros((flat_size,), jnp.int8),
-            jnp.asarray(slot, idx_dt),
-            vals_dev,
-            jnp.ones((slot.shape[0],), bool),
-        )
-        panels = flat[: ni * per].reshape(ni, TM, PK)
+        return flat[: ni * per].reshape(ni, TM, PKW)
+    slot = item * per + (rows % TM) * PK + lcol
+    flat = _fill_flat_vals(
+        jnp.zeros((flat_size,), jnp.int8),
+        jnp.asarray(slot, idx_dt),
+        vals_dev,
+        jnp.ones((slot.shape[0],), bool),
+    )
+    return flat[: ni * per].reshape(ni, TM, PK)
+
+
+def _build_mono(
+    rows, cols, coo, is_bin_in, binary, dtype, shape,
+    n_strips, n_slabs, TM, TK, W, win_slabs,
+    p_strip, p_lo, p_len, n_tiles,
+) -> BsrMatrix:
+    """Mono-panel build: emit the uniform-width item list (strip, window,
+    start_rel, first) + one flat panel fill. See :class:`MonoPanelBucket`."""
+    nrow, ncol = shape
+    n_windows = max(-(-n_slabs // win_slabs), 1)
+
+    # item list, covering the chain-padding strips past n_strips too (see
+    # _mono_pad_strips): every output block is written, so the raw kernel
+    # output is directly consumable
+    out_strips = max(n_strips, _mono_pad_strips(nrow, TM, TK))
+    it_strip, it_lo, it_win, it_start, first = _mono_item_list(
+        p_strip, p_lo, p_len, W, win_slabs, out_strips
+    )
+    ni = it_strip.size
+
+    # entry -> item: items sorted by (strip, lo); an entry belongs to the
+    # last item of its strip whose chunk lo <= its slab
+    key_it = it_strip * np.int64(n_slabs + 1) + it_lo
+    strip = rows // TM
+    slab = cols // TK
+    key_en = strip * np.int64(n_slabs + 1) + slab
+    item = np.searchsorted(key_it, key_en, side="right") - 1
+
+    vals_dev = (
+        None if binary
+        else _mono_vals(coo, is_bin_in, dtype, rows.shape[0])
+    )
+    panels = _mono_fill(
+        rows, cols, item, it_start, ni, TM, TK, W, binary, vals_dev
+    )
 
     bucket = MonoPanelBucket(
         strip_ids=jnp.asarray(it_strip, jnp.int32),
@@ -471,6 +580,7 @@ def _build_mono(
         width=int(W),
         win_slabs=int(win_slabs),
         n_windows=int(n_windows),
+        out_strips=int(out_strips),
     )
     return BsrMatrix(
         buckets=(bucket,),
@@ -478,6 +588,153 @@ def _build_mono(
         nnz=int(rows.shape[0]),
         n_tiles=n_tiles,
         padded_tiles=ni * int(W),
+        tile_m=TM,
+        tile_k=TK,
+        binary=bool(binary),
+    )
+
+
+MONO_GROUP_MAX = 8  # strips per grid step (halved while VMEM-over-budget)
+MONO_SPILL_MAX = 0.15  # side-bucket nnz fraction above which grouped loses
+
+
+def _build_mono_grouped(
+    rows, cols, coo, is_bin_in, binary, dtype, shape,
+    n_strips, n_slabs, TM, TK, win_slabs, smin, smax, ne, n_tiles,
+    best_alt,
+):
+    """Grouped mono build (see :class:`MonoGroupBucket`), or None.
+
+    One uniform-width item per strip, G-aligned groups sharing one X
+    window; uncoverable entries (span > W tail, group-window clamp) spill
+    to a side :class:`MonoPanelBucket`. Declines (returns None) when the
+    spill fraction or the padded footprint says the plain mono/panel
+    layouts are better."""
+    nrow, ncol = shape
+    spans = (smax - smin + 1)[ne]
+    if spans.size == 0:
+        return None
+    W = int(np.quantile(spans, 0.95))
+    W = int(_quantize_widths(
+        np.asarray([W]), max(min(n_slabs, win_slabs), 1))[0])
+    W = min(W, win_slabs)
+    PK = W * TK
+    row_bytes = PK // 8 if binary else PK * (
+        1 if dtype == jnp.int8 else (4 if dtype == jnp.float32 else 2)
+    )
+    G = MONO_GROUP_MAX
+    # double-buffered (G, TM, PK) panel blocks within ~4 MB
+    while G > 1 and 2 * G * TM * row_bytes > 4 * 2**20:
+        G //= 2
+    n_windows = max(-(-n_slabs // win_slabs), 1)
+    out_strips = max(n_strips, _mono_pad_strips(nrow, TM, TK))
+    out_strips = -(-out_strips // G) * G
+    ng = out_strips // G
+
+    BIG = np.int64(1) << 60
+    smin_f = np.full(out_strips, BIG, np.int64)
+    smin_f[:n_strips][ne] = smin[ne]
+    gmin = smin_f.reshape(ng, G).min(axis=1)
+    gw = np.where(gmin < BIG, gmin // win_slabs, 0)
+    gw = np.minimum(gw, max(n_windows - 1, 0))
+    gw_s = np.repeat(gw, G)
+    start = np.where(
+        smin_f < BIG,
+        np.minimum(smin_f, (gw_s + 1) * win_slabs - W),
+        gw_s * win_slabs,
+    )
+
+    strip = rows // TM
+    slab = cols // TK
+    spill = slab >= start[strip] + W
+    n_spill = int(spill.sum())
+    if n_spill > MONO_SPILL_MAX * max(rows.shape[0], 1):
+        return None
+
+    # footprint gate BEFORE any device fill: grouped main + modeled side
+    side_slabs = 0
+    if n_spill:
+        s_strips = strip[spill]
+        s_slabs = slab[spill]
+        uniq, local = np.unique(s_strips, return_inverse=True)
+        k = uniq.size
+        smin_s = np.full(k, np.int64(1) << 60)
+        smax_s = np.zeros(k, np.int64)
+        np.minimum.at(smin_s, local, s_slabs)
+        np.maximum.at(smax_s, local, s_slabs)
+        ne_s = np.ones(k, bool)
+        p_strip_s, p_lo_s, p_len_s = _mono_pieces(
+            smin_s, smax_s, ne_s, win_slabs
+        )
+        W_side, _ = _mono_width(p_len_s, win_slabs, 0)
+        side_slabs = int(np.sum(-(-p_len_s // W_side))) * W_side
+    grouped_slabs = out_strips * W + side_slabs
+    if grouped_slabs > MONO_BYTES_FACTOR * max(best_alt, 1):
+        return None
+
+    vals_dev = (
+        None if binary
+        else _mono_vals(coo, is_bin_in, dtype, rows.shape[0])
+    )
+    sel_main = np.nonzero(~spill)[0]
+    v_main = None
+    if not binary:
+        v_main = (
+            vals_dev if sel_main.size == rows.shape[0]
+            else jnp.take(vals_dev, jnp.asarray(sel_main), axis=0)
+        )
+    panels = _mono_fill(
+        rows[sel_main], cols[sel_main], strip[sel_main], start,
+        out_strips, TM, TK, W, binary, v_main,
+    )
+    main = MonoGroupBucket(
+        windows=jnp.asarray(gw, jnp.int32),
+        start_rel=jnp.asarray(start - gw_s * win_slabs, jnp.int32),
+        panels=panels,
+        width=int(W),
+        win_slabs=int(win_slabs),
+        n_windows=int(n_windows),
+        group=int(G),
+        out_strips=int(out_strips),
+    )
+    buckets = [main]
+    if n_spill:
+        it_strip, it_lo, it_win, it_start, first = _mono_item_list(
+            p_strip_s, p_lo_s, p_len_s, W_side, win_slabs, k
+        )
+        key_it = it_strip * np.int64(n_slabs + 1) + it_lo
+        key_en = local * np.int64(n_slabs + 1) + s_slabs
+        item = np.searchsorted(key_it, key_en, side="right") - 1
+        rows_local = local * TM + rows[spill] % TM
+        sel_side = np.nonzero(spill)[0]
+        v_side = (
+            None if binary
+            else jnp.take(vals_dev, jnp.asarray(sel_side), axis=0)
+        )
+        side_panels = _mono_fill(
+            rows_local, cols[spill], item, it_start,
+            it_strip.size, TM, TK, W_side, binary, v_side,
+        )
+        buckets.append(MonoPanelBucket(
+            strip_ids=jnp.asarray(it_strip, jnp.int32),
+            window=jnp.asarray(it_win, jnp.int32),
+            start_rel=jnp.asarray(
+                it_start - it_win * win_slabs, jnp.int32
+            ),
+            first=jnp.asarray(first),
+            panels=side_panels,
+            width=int(W_side),
+            win_slabs=int(win_slabs),
+            n_windows=int(n_windows),
+            out_strips=int(k),
+            strip_map=jnp.asarray(uniq, jnp.int32),
+        ))
+    return BsrMatrix(
+        buckets=tuple(buckets),
+        shape=(nrow, ncol),
+        nnz=int(rows.shape[0]),
+        n_tiles=n_tiles,
+        padded_tiles=int(grouped_slabs),
         tile_m=TM,
         tile_k=TK,
         binary=bool(binary),
@@ -625,6 +882,16 @@ def build_bsr(
             or mono_plan[5] <= MONO_BYTES_FACTOR * max(best_alt, 1)
         ):
             W, win_slabs, p_strip, p_lo, p_len, _ = mono_plan
+            # grouped first (G strips per grid step, ~3.3x less per-item
+            # overhead); it declines when spill/footprint say otherwise
+            g = _build_mono_grouped(
+                rows, cols, coo, is_bin_in, binary, dtype,
+                (nrow, ncol), n_strips, n_slabs, TM, TK, win_slabs,
+                smin, smax, ne, int(upair.size),
+                best_alt if mono_mode != "force" else mono_plan[5],
+            )
+            if g is not None:
+                return g
             return _build_mono(
                 rows, cols, coo, is_bin_in, binary, dtype,
                 (nrow, ncol), n_strips, n_slabs, TM, TK, W, win_slabs,

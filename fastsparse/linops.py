@@ -100,18 +100,49 @@ class SparseOperator:
             return self._out_cols(_spmm_mod.spmm(self.bwd, self._in_rows(X)))
         return self._out_cols(_spmm_mod.spmm_t(self.fwd, self._in_rows(X)))
 
+    def _mono_chainable(self, X) -> bool:
+        """Both tilings mono + Pallas-supported operand: normal/gram
+        products then run as two back-to-back single-launch kernels with
+        no pad/trim/permute copies in between (`ops.bsr_ops.mono_chain`;
+        the inner ``row_inv∘row_perm`` gather pair cancels exactly)."""
+        if self.bwd is None:
+            return False
+        if not (
+            getattr(self.fwd, "is_mono", False)
+            and getattr(self.bwd, "is_mono", False)
+        ):
+            return False
+        from .ops.bsr_ops import pallas_supported
+
+        return pallas_supported(jnp.asarray(X).dtype)
+
     def normal_matvec(self, x, reg=0.0):
         """``(AᵀA + reg·I) @ x`` — the Macau/SMURFF CG inner product
         (reference ``bcsr_AA_mul_B``, SURVEY.md §3.3). ``reg`` may be a
         traced scalar; the zero case folds away under jit."""
+        if self._mono_chainable(x):
+            from .ops.bsr_ops import mono_chain
+
+            y = mono_chain(self.fwd, self.bwd, self._in_cols(x)[:, None])
+            return self._out_cols(y[:, 0]) + reg * x
         return self.rmatvec(self.matvec(x)) + reg * x
 
     def normal_matmat(self, X, reg=0.0):
         """``(AᵀA + reg·I) @ X``."""
+        if self._mono_chainable(X):
+            from .ops.bsr_ops import mono_chain
+
+            Y = mono_chain(self.fwd, self.bwd, self._in_cols(X))
+            return self._out_cols(Y) + reg * X
         return self.rmatmat(self.matmat(X)) + reg * X
 
     def gram_matvec(self, x, reg=0.0):
         """``(AAᵀ + reg·I) @ x``."""
+        if self._mono_chainable(x):
+            from .ops.bsr_ops import mono_chain
+
+            y = mono_chain(self.bwd, self.fwd, self._in_rows(x)[:, None])
+            return self._out_rows(y[:, 0]) + reg * x
         return self.matvec(self.rmatvec(x)) + reg * x
 
     def __matmul__(self, other):

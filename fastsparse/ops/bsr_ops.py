@@ -22,6 +22,7 @@ from .assemble import bsr_layout_key as _asm_bsr_layout_key
 from .pallas.bsr_spmm import (
     bucket_spmm,
     bucket_spmv,
+    mono_group_spmm,
     mono_panel_spmm,
     panel_spmm,
     pick_strategy,
@@ -487,7 +488,9 @@ def _prep_mono_x(A, X, N, precision):
     K_pad = b.n_windows * b.win_slabs * TK
     if X.shape[0] > K_pad:
         X = X[:K_pad]
-    exact_bf16 = A.binary or A.dtype == jnp.bfloat16
+    # int8 panels (0/±1..±127 exact in bf16 after the in-kernel cast) ride
+    # the same fp32-parity plane paths as bf16-valued/bitmask panels
+    exact_bf16 = A.binary or A.dtype in (jnp.bfloat16, jnp.int8)
     parity = (
         exact_bf16 and precision == "highest" and X.dtype == jnp.float32
     )
@@ -507,13 +510,59 @@ def _prep_mono_x(A, X, N, precision):
     return Xp, NB, Npad, False, 0
 
 
-def _mono_impl(A, X, precision, out_rows=None, trim=True):
-    """``Y = A @ X`` in ONE kernel launch (MonoPanelBucket layout)."""
-    nrow = A.shape[0]
+def _mono_raw(A, X, precision):
+    """Raw mono product: ``(Y, nq, Npad)`` with ``Y`` the kernel's full
+    f32[out_strips·TM, Npad] output, pre-narrow-fold. Rows past the real
+    output are zero (chain-padding strips carry zero panels), so ``Y``
+    feeds a partner mono tiling directly — see `mono_chain`."""
+    from ..formats.bsr import MonoGroupBucket
+
     N = X.shape[1]
+    TM = A.tile_m
     b = A.buckets[0]
     Xp, NB, Npad, fold, nq = _prep_mono_x(A, X, N, precision)
-    rows = out_rows if out_rows is not None else A.n_strips * A.tile_m
+    if isinstance(b, MonoGroupBucket):
+        Y = mono_group_spmm(
+            b.windows,
+            b.start_rel,
+            b.panels,
+            Xp,
+            tile_m=TM,
+            tile_k=A.tile_k,
+            width=b.width,
+            win_slabs=b.win_slabs,
+            binary=A.binary,
+            n_block=NB,
+            fold=fold,
+            precision=precision,
+            group=b.group,
+        )
+        for sb in A.buckets[1:]:
+            # side bucket: uncovered entries on k strips — small kernel
+            # into (k·TM, Npad), then a k-strip scatter-add into Y
+            Ys = mono_panel_spmm(
+                sb.window,
+                sb.strip_ids,
+                sb.start_rel,
+                sb.first,
+                sb.panels,
+                Xp,
+                tile_m=TM,
+                tile_k=A.tile_k,
+                width=sb.width,
+                win_slabs=sb.win_slabs,
+                binary=A.binary,
+                n_block=NB,
+                fold=fold,
+                precision=precision,
+                out_rows=sb.out_strips * TM,
+            )
+            ridx = (
+                sb.strip_map[:, None] * TM + jnp.arange(TM)[None, :]
+            ).reshape(-1)
+            Y = Y.at[ridx].add(Ys)
+        return Y, nq, Npad
+    rows = max(b.out_strips, A.n_strips) * TM
     Y = mono_panel_spmm(
         b.window,
         b.strip_ids,
@@ -521,7 +570,7 @@ def _mono_impl(A, X, precision, out_rows=None, trim=True):
         b.first,
         b.panels,
         Xp,
-        tile_m=A.tile_m,
+        tile_m=TM,
         tile_k=A.tile_k,
         width=b.width,
         win_slabs=b.win_slabs,
@@ -531,11 +580,39 @@ def _mono_impl(A, X, precision, out_rows=None, trim=True):
         precision=precision,
         out_rows=rows,
     )
+    return Y, nq, Npad
+
+
+def _mono_impl(A, X, precision):
+    """``Y = A @ X`` in ONE kernel launch (MonoPanelBucket layout)."""
+    Y, nq, _ = _mono_raw(A, X, precision)
     if nq:
         Y = _fold_narrow(Y, nq)
-    if not trim:
-        return Y[:, :N]
-    return Y[:nrow, :N]
+    return Y[: A.shape[0], : X.shape[1]]
+
+
+def mono_chain(A, At, X, precision="highest"):
+    """``Aᵀ(A X)`` as two back-to-back mono launches with ZERO pad/trim
+    copies between them — the reference's fused ``bcsr_AA_mul_B``
+    (SURVEY.md §3.3) recast for TPU: ``A``'s raw kernel output is padded
+    at build time (`formats.bsr._mono_pad_strips`) to exactly the X extent
+    ``At``'s windows address, so the intermediate never leaves HBM layout.
+
+    ``A`` and ``At`` are mono tilings of a matrix and its transpose (in
+    either order — ``mono_chain(At, A, x)`` is the gram product ``AAᵀx``).
+    """
+    N = X.shape[1]
+    Y1, nq1, Npad1 = _mono_raw(A, X, precision)
+    if nq1:
+        tmp = _fold_narrow(Y1, nq1)[:, :N]
+    elif N == Npad1:
+        tmp = Y1
+    else:
+        tmp = Y1[:, :N]
+    Y2, nq2, _ = _mono_raw(At, tmp, precision)
+    if nq2:
+        Y2 = _fold_narrow(Y2, nq2)
+    return Y2[: At.shape[0], :N]
 
 
 def _seg_mode(seg, N, x_dtype, precision):
@@ -731,21 +808,32 @@ def _as_coo(A: BsrMatrix):
     TM, TK = A.tile_m, A.tile_k
     nsp = A.n_strips
     rows_l, cols_l, vals_l = [], [], []
+    from ..formats.bsr import MonoGroupBucket
+
     for b in A.buckets:
-        if isinstance(b, (PanelBucket, MonoPanelBucket)):
+        if isinstance(b, (PanelBucket, MonoPanelBucket, MonoGroupBucket)):
             PK = b.width * TK
             panels = (
                 np.asarray(expand_bits_reference(b.panels, PK))
                 if A.binary
                 else np.asarray(b.panels)
             )
-            sids = np.asarray(b.strip_ids)
-            if isinstance(b, MonoPanelBucket):
+            if isinstance(b, MonoGroupBucket):
+                sids = np.arange(b.ns, dtype=np.int64)
+                starts = (
+                    np.asarray(b.windows)[sids // b.group] * b.win_slabs
+                    + np.asarray(b.start_rel)
+                )
+            elif isinstance(b, MonoPanelBucket):
+                sids = np.asarray(b.strip_ids)
+                if b.strip_map is not None:
+                    sids = np.asarray(b.strip_map)[sids]
                 starts = (
                     np.asarray(b.window) * b.win_slabs
                     + np.asarray(b.start_rel)
                 )
             else:
+                sids = np.asarray(b.strip_ids)
                 starts = np.asarray(b.start_slab)
             i, r, c = np.nonzero(panels)
             keep = sids[i] < nsp

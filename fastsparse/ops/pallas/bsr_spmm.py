@@ -550,6 +550,10 @@ def _mono_body(
         a = _expand_bits(a, PK, jnp.float32)
         if fold or x_ref.dtype == jnp.bfloat16:
             a = a.astype(jnp.bfloat16)
+    elif a.dtype == jnp.int8:
+        # half the panel DMA bytes of bf16; small-int values are exact
+        # through the bf16 cast, so the parity paths still apply
+        a = a.astype(jnp.bfloat16)
     st = start_ref[i]
     xs = x_ref[pl.ds(st * TK, PK), :]
     if fold == "f32":
@@ -667,6 +671,140 @@ def mono_panel_spmm(
             ),
             interpret=_interpret(),
         )(window, strip_ids, start_rel, first, panels, x)
+
+
+# ---------------------------------------------------------------------------
+# Grouped mono kernel: G strips per grid step (the panel kernel's SG trick
+# applied to the single-launch layout — G=1 -> G=8 measured ~3.3x less
+# per-item overhead, probe_mono3/4). Preconditions the builder guarantees:
+# exactly ONE item per strip (uniform width W), strips G-aligned per step,
+# all G strips of a step read the SAME prefetched X window, output written
+# once (no accumulate branch). Entries a strip's single item cannot cover
+# (window clamp / span > W) live in a SIDE MonoPanelBucket handled by
+# `mono_panel_spmm` + a strip scatter-add (ops.bsr_ops._mono_impl).
+# ---------------------------------------------------------------------------
+
+
+def _mono_g_body(
+    binary, PK, TK, TM, NB, G, fold, prec,
+    win_ref, start_ref, panels_ref, x_ref, o_ref,
+):
+    del win_ref  # consumed by the X BlockSpec index map
+    i = pl.program_id(1)
+    for g in range(G):
+        a = panels_ref[g]
+        if binary:
+            a = _expand_bits(a, PK, jnp.float32)
+            if fold or x_ref.dtype == jnp.bfloat16:
+                a = a.astype(jnp.bfloat16)
+        elif a.dtype == jnp.int8:
+            a = a.astype(jnp.bfloat16)
+        st = start_ref[i * G + g]
+        xs = x_ref[pl.ds(st * TK, PK), :]
+        if fold == "f32":
+            x0 = xs.astype(jnp.bfloat16)
+            r1 = xs - x0.astype(jnp.float32)
+            x1 = r1.astype(jnp.bfloat16)
+            x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = (
+                jnp.dot(a, x0, preferred_element_type=jnp.float32)
+                + jnp.dot(a, x1, preferred_element_type=jnp.float32)
+                + jnp.dot(a, x2, preferred_element_type=jnp.float32)
+            )
+        else:
+            a, xs = _match_dot_dtypes(a, xs)
+            p = None if a.dtype == jnp.bfloat16 else prec
+            d = jnp.dot(
+                a, xs, preferred_element_type=jnp.float32, precision=p
+            )
+            if fold:
+                d = d[:, :NB] + d[:, NB : 2 * NB] + d[:, 2 * NB :]
+        o_ref[pl.ds(g * TM, TM), :] = d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m", "tile_k", "width", "win_slabs", "binary", "n_block",
+        "fold", "precision", "group",
+    ),
+)
+def mono_group_spmm(
+    windows,  # int32[ng] — X window block per strip-GROUP
+    starts,  # int32[ns] — item start slab per strip, window-relative
+    panels,  # dtype[ns, TM, PK] | uint32[ns, TM, PK//32]
+    x,  # dtype[n_windows·win_slabs·TK, Npad (3·Npad when fold=True)]
+    *,
+    tile_m: int,
+    tile_k: int,
+    width: int,
+    win_slabs: int,
+    binary: bool,
+    n_block: int,
+    fold,
+    precision: str = "highest",
+    group: int = 8,
+) -> jax.Array:
+    """``Y = A @ X`` for a MonoGroupBucket in ONE launch, G strips/step.
+
+    Returns f32[ns·TM, Npad]; ``ns`` must be a multiple of ``group``.
+    """
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    ns = starts.shape[0]
+    G = group
+    assert ns % G == 0
+    PK = width * tile_k
+    NB = n_block
+    xnb = 3 * NB if fold is True else NB
+    Npad = x.shape[1] // 3 if fold is True else x.shape[1]
+    nj = Npad // NB
+    win_rows = win_slabs * tile_k
+    assert x.shape[0] % win_rows == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nj, ns // G),
+        in_specs=[
+            pl.BlockSpec(
+                (G, tile_m, panels.shape[-1]),
+                lambda j, i, sw, ss: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (win_rows, xnb),
+                lambda j, i, sw, ss: (sw[i], j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (G * tile_m, NB),
+            lambda j, i, sw, ss: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    flops = 2 * ns * tile_m * PK * (3 * Npad if fold else Npad)
+    abytes = panels.size * panels.dtype.itemsize
+    with named("mono_g_spmm"):
+        return pl.pallas_call(
+            functools.partial(
+                _mono_g_body, binary, PK, tile_k, tile_m, NB, G, fold, prec
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ns * tile_m, Npad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=abytes + x.size * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(windows, starts, panels, x)
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,7 @@ def shard_partitioned(Ap: RowPartitioned, mesh: Mesh, axis: str = "rows"):
             Ap.local_bsr_t,
             Ap.blocks_bsr,
             Ap.blocks_bsr_t,
+            Ap.local_ell,
         ),
     )
     return dataclasses.replace(
@@ -99,6 +100,7 @@ def shard_partitioned(Ap: RowPartitioned, mesh: Mesh, axis: str = "rows"):
         local_bsr_t=sharded[3],
         blocks_bsr=sharded[4],
         blocks_bsr_t=sharded[5],
+        local_ell=sharded[6],
         row_perm=rep(Ap.row_perm),
         col_perm=rep(Ap.col_perm),
         row_inv=rep(Ap.row_inv),
@@ -290,6 +292,27 @@ def pspmm(
     """
     Xp = pad_operand(X, Ap, "cols")
     if schedule == "allgather":
+        if engine == "ell":
+            # hypersparse gather-engine shard path (ELL slabs per shard):
+            # the Pallas gather engine on TPU, the XLA ELL path elsewhere
+            if Ap.local_ell is None:
+                raise ValueError(
+                    "partition built without build_ell_shards=True"
+                )
+            from ..ops.spmm import spmm as _spmm_fmt
+
+            def body_ell(local, Xs):
+                A = _local(local)
+                X_full = jax.lax.all_gather(Xs, axis, tiled=True)
+                return _spmm_fmt(A, X_full)
+
+            return shard_map(
+                body_ell,
+                mesh=mesh,
+                in_specs=(_specs_of(Ap.local_ell, axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )(Ap.local_ell, Xp)
         if engine == "bsr":
             if Ap.local_bsr is None:
                 raise ValueError(

@@ -22,7 +22,7 @@ Two layouts are built:
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,10 @@ class RowPartitioned:
     # pnormal_mm(schedule='ring') / pspmm_t(schedule='ring') multiplies
     # these against local rows while partial outputs travel the ring.
     blocks_bsr_t: Optional[BsrMatrix] = None
+    # stacked per-shard ELL slabs (gather-engine / XLA-ELL shard path):
+    # one uniform (row_block, K) slab per shard, K = pow2 global max row
+    # degree — plain padded ELL keeps SPMD shapes trivially identical
+    local_ell: Optional[Any] = None
 
 
 def _to_host_coo(mat, dtype):
@@ -191,6 +195,7 @@ def partition_rows(
     dtype=None,
     build_blocks: bool = True,
     build_bsr_shards: bool = False,
+    build_ell_shards: bool = False,
     reorder: Optional[str] = None,
 ) -> RowPartitioned:
     """Partition ``mat`` (scipy / COO / CSR) into ``n_shards`` row blocks.
@@ -359,6 +364,48 @@ def partition_rows(
                 blk_mats_t, config, stack_shape=(P, P)
             )
 
+    local_ell = None
+    if build_ell_shards:
+        # One uniform (row_block, K) ELL slab per shard, K = pow2 global
+        # max row degree: plain padded ELL (no per-shard bucket ladders)
+        # keeps SPMD local shapes identical with zero stacking logic. The
+        # hypersparse gather engine consumes it on TPU; the XLA ELL
+        # fallback everywhere else (padding carries zero values).
+        from ..formats.ell import EllBucket, EllMatrix
+
+        deg = np.zeros(row_block, np.int64)
+        Ke = 1
+        for r, c, v in local_groups:
+            deg[:] = 0
+            np.add.at(deg, r, 1)
+            Ke = max(Ke, int(deg.max()) if r.size else 1)
+        Ke = 1 << (Ke - 1).bit_length()
+        Ce = np.zeros((P, row_block, Ke), np.int32)
+        Ve = np.zeros((P, row_block, Ke), vdtype)
+        for p, (r, c, v) in enumerate(local_groups):
+            order = np.argsort(r, kind="stable")
+            r, c, v = r[order], c[order], v[order]
+            k = np.arange(r.size) - np.searchsorted(r, r)
+            Ce[p, r, k] = c
+            Ve[p, r, k] = v
+        rid = np.broadcast_to(
+            np.arange(row_block, dtype=np.int32), (P, row_block)
+        ).copy()
+        local_ell = EllMatrix(
+            buckets=(
+                EllBucket(
+                    row_ids=jnp.asarray(rid),
+                    cols=jnp.asarray(Ce),
+                    vals=jnp.asarray(Ve),
+                    width=Ke,
+                    n_real=row_block,
+                ),
+            ),
+            shape=(row_block, P * col_block),
+            nnz=int(rows.shape[0]),
+            padded_nnz=P * row_block * Ke,
+        )
+
     return RowPartitioned(
         local=local,
         blocks=blocks,
@@ -366,6 +413,7 @@ def partition_rows(
         local_bsr_t=local_bsr_t,
         blocks_bsr=blocks_bsr,
         blocks_bsr_t=blocks_bsr_t,
+        local_ell=local_ell,
         shape=shape,
         n_shards=P,
         row_block=row_block,

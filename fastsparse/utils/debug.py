@@ -72,14 +72,57 @@ def validate(A) -> None:
             )
         return
     if isinstance(A, BsrMatrix):
-        from ..formats.bsr import MonoPanelBucket, PanelBucket
+        from ..formats.bsr import (
+            MonoGroupBucket,
+            MonoPanelBucket,
+            PanelBucket,
+        )
 
         nsp, nsl = A.n_strips, A.n_slabs
         for b in A.buckets:
+            if isinstance(b, MonoGroupBucket):
+                _check(b.ns % b.group == 0, "mono-group ns not G-aligned")
+                _check(
+                    b.ns >= nsp, "mono-group must cover every strip"
+                )
+                gwv = np.asarray(b.windows)
+                _check(
+                    gwv.min() >= 0 and gwv.max() < b.n_windows,
+                    "mono-group window out of range",
+                )
+                st = np.asarray(b.start_rel)
+                _check(
+                    st.min() >= 0 and (st + b.width).max() <= b.win_slabs,
+                    "mono-group panel leaves its window",
+                )
+                last = (
+                    (b.width * A.tile_k) // 32
+                    if A.binary
+                    else b.width * A.tile_k
+                )
+                _check(
+                    b.panels.shape == (b.ns, A.tile_m, last),
+                    "mono-group panel block shape",
+                )
+                continue
             if isinstance(b, MonoPanelBucket):
                 sid = np.asarray(b.strip_ids)
+                if b.strip_map is not None:
+                    # side bucket: local strips, mapped into [0, nsp)
+                    cover = b.out_strips
+                    smap = np.asarray(b.strip_map)
+                    _check(
+                        smap.min() >= 0 and smap.max() < nsp,
+                        "mono side strip_map out of range",
+                    )
+                    _check(
+                        smap.size == cover,
+                        "mono side strip_map size mismatch",
+                    )
+                else:
+                    cover = max(b.out_strips, nsp)
                 _check(
-                    sid.min() >= 0 and sid.max() < nsp,
+                    sid.min() >= 0 and sid.max() < cover,
                     "mono strip id out of range",
                 )
                 _check((np.diff(sid) >= 0).all(), "mono items not sorted")
@@ -88,8 +131,9 @@ def validate(A) -> None:
                 starts[1:] = sid[1:] != sid[:-1]
                 _check((fst == starts).all(), "mono first flags wrong")
                 _check(
-                    np.unique(sid).size == nsp,
-                    "mono items must cover every strip",
+                    np.unique(sid).size == cover,
+                    "mono items must cover every output strip "
+                    "(incl. chain padding)",
                 )
                 win = np.asarray(b.window)
                 st = np.asarray(b.start_rel)

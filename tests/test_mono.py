@@ -51,9 +51,11 @@ def test_mono_structure_invariants(small_windows):
     assert A.is_mono
     b = A.buckets[0]
     sid = np.asarray(b.strip_ids)
-    # sorted items covering every strip; first flags mark strip starts
+    # sorted items covering every output strip (incl. chain padding past
+    # the matrix's own strips); first flags mark strip starts
     assert (np.diff(sid) >= 0).all()
-    assert np.unique(sid).size == A.n_strips
+    assert b.out_strips >= A.n_strips
+    assert np.unique(sid).size == b.out_strips
     fst = np.asarray(b.first)
     starts = np.ones(sid.size, bool)
     starts[1:] = sid[1:] != sid[:-1]
@@ -121,6 +123,70 @@ def test_mono_empty_strips_and_wide_rows(small_windows):
     assert _rel(op.matmat(X), m @ X) < 1e-6
 
 
+def test_mono_chain_normal_equations(small_windows):
+    """normal/gram products run the zero-copy two-launch mono chain."""
+    rng = np.random.default_rng(5)
+    m = _banded(rng, 1800, 4000, 280)
+    op = fs.operator(m, format="bsr", transpose=True)
+    assert op.fwd.is_mono and op.bwd.is_mono
+    assert op._mono_chainable(np.zeros((4000, 4), np.float32))
+    # build-time chain padding: fwd covers at least bwd's X-window extent,
+    # so the intermediate needs no pad copy
+    bw_kpad = op.bwd.buckets[0].n_windows * op.bwd.buckets[0].win_slabs * 128
+    assert op.fwd.buckets[0].out_strips * op.fwd.tile_m >= bw_kpad
+    X = np.asarray(rng.standard_normal((4000, 16)), np.float32)
+    got = np.asarray(op.normal_matmat(X, reg=0.5))
+    ref = (m.T @ (m @ X)).astype(np.float64) + 0.5 * X
+    assert _rel(got, ref) < 1e-5
+    x = np.asarray(rng.standard_normal(4000), np.float32)
+    got1 = np.asarray(op.normal_matvec(x))
+    ref1 = (m.T @ (m @ x)).astype(np.float64)
+    assert _rel(got1, ref1) < 1e-5
+    g = np.asarray(rng.standard_normal(1800), np.float32)
+    gotg = np.asarray(op.gram_matvec(g))
+    refg = (m @ (m.T @ g)).astype(np.float64)
+    assert _rel(gotg, refg) < 1e-5
+
+
+def test_mono_chain_with_reorder(small_windows):
+    """Permutation boundary: inner row_inv∘row_perm pair cancels."""
+    rng = np.random.default_rng(6)
+    m = _banded(rng, 1500, 3500, 260)
+    op = fs.operator(m, format="bsr", transpose=True, reorder="degree")
+    if not (op.fwd.is_mono and op.bwd.is_mono):
+        pytest.skip("reorder broke banded structure; mono not selected")
+    X = np.asarray(rng.standard_normal((3500, 8)), np.float32)
+    got = np.asarray(op.normal_matmat(X))
+    ref = (m.T @ (m @ X)).astype(np.float64)
+    assert _rel(got, ref) < 1e-5
+
+
+def test_mono_int8_panels(small_windows):
+    """int8-valued panels (half the DMA bytes): exact through bf16 cast."""
+    import jax.numpy as jnp
+
+    from fastsparse.config import Config
+    from fastsparse.formats.bsr import build_bsr
+    from fastsparse.formats.coo import binary_coo_from_scipy
+    from fastsparse.ops.bsr_ops import bsr_spmm
+
+    rng = np.random.default_rng(7)
+    m = _banded(rng, 1000, 3000, 200)
+    coo = binary_coo_from_scipy(m.tocoo())
+    A = build_bsr(
+        coo,
+        config=Config(bsr_mono="force", tile_m=8),
+        dtype=jnp.int8,
+        binary=False,
+    )
+    assert A.is_mono and A.dtype == jnp.int8
+    X = np.asarray(rng.standard_normal((3000, 8)), np.float32)
+    assert _rel(bsr_spmm(A, X), m @ X) < 1e-6
+    # wide RHS hits the fold path
+    X64 = np.asarray(rng.standard_normal((3000, 64)), np.float32)
+    assert _rel(bsr_spmm(A, X64), m @ X64) < 1e-6
+
+
 def test_mono_vs_segmented_same_result(small_windows):
     """Mono (windowed, unsegmented) must equal the ColSegmented build."""
     import dataclasses
@@ -144,3 +210,55 @@ def test_mono_vs_segmented_same_result(small_windows):
     ref = (m @ X).astype(np.float64)
     assert np.abs(ym - ref).max() / np.abs(ref).max() < 1e-6
     assert np.abs(ys - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_mono_grouped_selected_and_correct():
+    """At realistic window sizes the grouped layout (one item/strip, G
+    strips per grid step) wins for banded structure; oracle parity incl.
+    todense and the normal-equation chain."""
+    rng = np.random.default_rng(9)
+    m = _banded(rng, 4000, 9000, 300)
+    op = fs.operator(m, format="bsr", transpose=True)
+    A = op.fwd
+    assert A.is_mono
+    assert A.is_mono_grouped, type(A.buckets[0]).__name__
+    b = A.buckets[0]
+    assert b.ns % b.group == 0
+    from fastsparse.utils.debug import validate
+
+    validate(A)
+    D = np.asarray(A.todense(), np.float64)
+    assert np.abs(D - m.toarray()).max() == 0
+    X = np.asarray(rng.standard_normal((9000, 16)), np.float32)
+    assert _rel(op.matmat(X), m @ X) < 1e-6
+    x = np.asarray(rng.standard_normal(9000), np.float32)
+    assert _rel(op.matvec(x), m @ x) < 1e-6
+    assert _rel(op.normal_matmat(X[:, :8]), m.T @ (m @ X[:, :8])) < 1e-5
+
+
+def test_mono_grouped_spill_side_bucket():
+    """Strips whose span exceeds W spill into the side bucket; results
+    stay exact (main + side scatter-add)."""
+    rng = np.random.default_rng(10)
+    m = _banded(rng, 3000, 7000, 250).tolil()
+    # two wide rows spanning most of the matrix -> guaranteed spill
+    m[100, ::97] = 1.0
+    m[1500, 5::113] = 1.0
+    m = m.tocsr()
+    m.data[:] = 1.0
+    op = fs.operator(m, format="bsr", transpose=False)
+    A = op.fwd
+    if not A.is_mono_grouped:
+        import pytest
+
+        pytest.skip("grouped not selected for this structure")
+    assert len(A.buckets) > 1, "expected a side bucket"
+    side = A.buckets[1]
+    assert side.strip_map is not None
+    from fastsparse.utils.debug import validate
+
+    validate(A)
+    D = np.asarray(A.todense(), np.float64)
+    assert np.abs(D - m.toarray()).max() == 0
+    X = np.asarray(rng.standard_normal((7000, 8)), np.float32)
+    assert _rel(op.matmat(X), m @ X) < 1e-6

@@ -29,13 +29,14 @@ def _banded_coo(n=1536, bw=512, density=0.35, seed=3):
 
 
 def test_panel_chosen_for_banded():
-    from fastsparse.formats.bsr import MonoPanelBucket
+    from fastsparse.formats.bsr import MonoGroupBucket, MonoPanelBucket
 
     coo, _ = _banded_coo()
     A = build_bsr(coo, config=Config(tile_m=32), dtype=jnp.bfloat16, binary=False)
     assert A.is_panel
     assert all(
-        isinstance(b, (PanelBucket, MonoPanelBucket)) for b in A.buckets
+        isinstance(b, (PanelBucket, MonoPanelBucket, MonoGroupBucket))
+        for b in A.buckets
     )
     # padding stays tight: ladder widths, ns rounded to 8 (not pow2)
     assert A.padded_tiles <= 1.6 * A.n_tiles

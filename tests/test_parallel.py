@@ -118,6 +118,26 @@ def test_bsr_engine_distributed(mesh, fn):
         np.testing.assert_allclose(np.asarray(Z), ref, rtol=2e-3, atol=2e-3)
 
 
+def test_ell_engine_distributed(mesh):
+    """Gather-engine (ELL slab) shard path: same layout/collectives as
+    the BSR path, hypersparse-format local compute."""
+    m = C.powerlaw_csr(640, 512, 8000, seed=7, dtype=np.float32)
+    Ap = shard_partitioned(
+        partition_rows(m, 8, build_blocks=False, build_ell_shards=True),
+        mesh,
+    )
+    assert Ap.local_ell is not None
+    rng = np.random.default_rng(8)
+    X = rng.standard_normal((512, 16)).astype(np.float32)
+    Y = jax.jit(lambda Ap, X: pspmm(Ap, X, mesh, engine="ell"))(
+        Ap, jnp.asarray(X)
+    )
+    Y = unpad_result(Y, Ap, "rows")
+    ref = (m @ X.astype(np.float64))
+    rel = np.abs(np.asarray(Y) - ref).max() / np.abs(ref).max()
+    assert rel < 1e-6, rel
+
+
 def test_ring_bsr_engine(mesh):
     m = C.powerlaw_csr(512, 480, 7000, seed=9, dtype=np.float32)
     Ap = shard_partitioned(

@@ -104,7 +104,6 @@ def time_scan(fn: Callable, x0, iters: int = 50, batches: int = 3) -> float:
     update is in-place inside the loop body; the perturbation is below
     f32 resolution of any realistic operand.
     """
-    rtt = measure_rtt()
     eps = jnp.asarray(1e-38, jnp.float32)
 
     def body(_, x):
@@ -112,15 +111,25 @@ def time_scan(fn: Callable, x0, iters: int = 50, batches: int = 3) -> float:
         d = (eps * y[:1, :1].astype(jnp.float32)).astype(x.dtype)
         return x.at[:1, :1].add(d)
 
-    g = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
-    fetch_scalar(g(x0))  # compile + warm
-    best = None
-    for _ in range(batches):
-        t0 = time.perf_counter()
-        fetch_scalar(g(x0))
-        dt = time.perf_counter() - t0 - rtt
-        best = dt if best is None else min(best, dt)
-    return max(best / iters, 1e-9)
+    def loop(n):
+        g = jax.jit(
+            lambda x: jax.lax.fori_loop(0, n, body, x), static_argnums=()
+        )
+        fetch_scalar(g(x0))  # compile + warm
+
+        def run():
+            t0 = time.perf_counter()
+            fetch_scalar(g(x0))
+            return time.perf_counter() - t0
+
+        return min(run() for _ in range(batches))
+
+    # two loop lengths; the difference cancels the fetch RTT exactly
+    # (the RTT varies by the hour through the tunnel — subtracting a
+    # separately-measured value produced 0.000 readings)
+    t1 = loop(iters)
+    t2 = loop(2 * iters)
+    return max((t2 - t1) / iters, 1e-9)
 
 
 def time_chain(fn: Callable, x0, reps: int = 10) -> float:

@@ -87,6 +87,12 @@ class Config:
     # per-product overhead). "auto" picks it when its padded footprint is
     # within MONO_BYTES_FACTOR of the best alternative layout.
     bsr_mono: str = "auto"
+    # Grouped mono (G strips per grid step + spill side bucket): measured
+    # SLOWER than the plain mono item list on the real chip (the side
+    # launch + Y scatter-add costs more than grouping saves — 0.599 vs
+    # 0.338 ms on the banded headline, probe_mono4 2026-08-20). Kept as
+    # an opt-in for spill-free structures.
+    bsr_mono_grouped: bool = False
 
 
 DEFAULT = Config()

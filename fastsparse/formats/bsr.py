@@ -882,14 +882,16 @@ def build_bsr(
             or mono_plan[5] <= MONO_BYTES_FACTOR * max(best_alt, 1)
         ):
             W, win_slabs, p_strip, p_lo, p_len, _ = mono_plan
-            # grouped first (G strips per grid step, ~3.3x less per-item
-            # overhead); it declines when spill/footprint say otherwise
-            g = _build_mono_grouped(
-                rows, cols, coo, is_bin_in, binary, dtype,
-                (nrow, ncol), n_strips, n_slabs, TM, TK, win_slabs,
-                smin, smax, ne, int(upair.size),
-                best_alt if mono_mode != "force" else mono_plan[5],
-            )
+            # grouped is opt-in (probe_mono4: the spill side launch + Y
+            # scatter-add cost more than G-grouping saves on real data)
+            g = None
+            if getattr(config, "bsr_mono_grouped", False):
+                g = _build_mono_grouped(
+                    rows, cols, coo, is_bin_in, binary, dtype,
+                    (nrow, ncol), n_strips, n_slabs, TM, TK, win_slabs,
+                    smin, smax, ne, int(upair.size),
+                    best_alt if mono_mode != "force" else mono_plan[5],
+                )
             if g is not None:
                 return g
             return _build_mono(

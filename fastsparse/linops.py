@@ -370,7 +370,8 @@ def operator(
         else:
             format = "ell"
 
-    if format == "bsr" and config is DEFAULT:
+    auto_tm = config is DEFAULT
+    if format == "bsr" and auto_tm:
         # Taller tiles amortize fixed per-tile overheads when structure
         # merges vertically (banded/blocked: measured 1.3x at tm>=32);
         # explicit configs are never overridden.
@@ -390,6 +391,23 @@ def operator(
             config = dataclasses.replace(config, tile_m=tm)
 
     fwd = _compile_one(coo, format, config, dtype)
+    # Mono layouts get cheaper with taller items (fewer grid steps, same
+    # bytes when structure merges vertically): plain mono at tile_m=256
+    # measured 0.208 vs 0.338 ms (tm=128) on the banded headline
+    # (probe_mono4, same process). Auto path only; keep 256 only if the
+    # 256-build still selects a mono layout.
+    if (
+        format == "bsr"
+        and auto_tm
+        and config.tile_m == 128
+        and getattr(fwd, "is_mono", False)
+    ):
+        import dataclasses as _dc
+
+        cfg256 = _dc.replace(config, tile_m=256)
+        fwd256 = _compile_one(coo, format, cfg256, dtype)
+        if getattr(fwd256, "is_mono", False):
+            fwd, config = fwd256, cfg256
     bwd = None
     if transpose:
         # plain index swap; builders row-sort host-side themselves

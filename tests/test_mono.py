@@ -216,9 +216,14 @@ def test_mono_grouped_selected_and_correct():
     """At realistic window sizes the grouped layout (one item/strip, G
     strips per grid step) wins for banded structure; oracle parity incl.
     todense and the normal-equation chain."""
+    import dataclasses
+
+    from fastsparse.config import DEFAULT
+
+    cfg = dataclasses.replace(DEFAULT, bsr_mono_grouped=True)
     rng = np.random.default_rng(9)
     m = _banded(rng, 4000, 9000, 300)
-    op = fs.operator(m, format="bsr", transpose=True)
+    op = fs.operator(m, format="bsr", transpose=True, config=cfg)
     A = op.fwd
     assert A.is_mono
     assert A.is_mono_grouped, type(A.buckets[0]).__name__
@@ -246,7 +251,16 @@ def test_mono_grouped_spill_side_bucket():
     m[1500, 5::113] = 1.0
     m = m.tocsr()
     m.data[:] = 1.0
-    op = fs.operator(m, format="bsr", transpose=False)
+    import dataclasses
+
+    from fastsparse.config import DEFAULT
+
+    op = fs.operator(
+        m,
+        format="bsr",
+        transpose=False,
+        config=dataclasses.replace(DEFAULT, bsr_mono_grouped=True),
+    )
     A = op.fwd
     if not A.is_mono_grouped:
         import pytest
@@ -262,3 +276,27 @@ def test_mono_grouped_spill_side_bucket():
     assert np.abs(D - m.toarray()).max() == 0
     X = np.asarray(rng.standard_normal((7000, 8)), np.float32)
     assert _rel(op.matmat(X), m @ X) < 1e-6
+
+
+def test_mono_auto_tile_m_256_upgrade():
+    """DEFAULT-config banded operators upgrade mono builds to tile_m=256
+    (measured 1.6x on the headline); explicit configs never do."""
+    from fastsparse.bench.matrices import banded
+
+    rng = np.random.default_rng(11)
+    m = banded(8192, 512, seed=4, density=0.39)
+    m.data[:] = 1.0
+    op = fs.operator(m, format="bsr", transpose=False)
+    if not op.fwd.is_mono:
+        pytest.skip("mono not selected for this structure")
+    assert op.fwd.tile_m == 256
+    m = m.tocsr()
+    X = np.asarray(rng.standard_normal((8192, 8)), np.float32)
+    assert _rel(op.matmat(X), m @ X) < 1e-6
+    # explicit config: no override
+    from fastsparse.config import Config
+
+    op2 = fs.operator(
+        m, format="bsr", transpose=False, config=Config(tile_m=128)
+    )
+    assert op2.fwd.tile_m == 128

@@ -161,7 +161,7 @@ def child() -> None:
     # minus this is per-dispatch tunnel/host overhead, not kernel time
     try:
         busy_ms = round(
-            time_scan(lambda X: op.matmat(X), X, iters=30) * 1e3, 3
+            time_scan(lambda X: op.matmat(X), X, iters=256) * 1e3, 3
         )
     except Exception:  # pragma: no cover - square-shape-only helper
         busy_ms = None

@@ -89,7 +89,7 @@ def time_fn_stats(
     }
 
 
-def time_scan(fn: Callable, x0, iters: int = 50, batches: int = 3) -> float:
+def time_scan(fn: Callable, x0, iters: int = 512, batches: int = 5) -> float:
     """Device-chained per-iteration seconds: ONE dispatch running ``iters``
     data-dependent applications of ``fn`` inside `lax.fori_loop`, one
     fetch. Per-dispatch tunnel latency and inter-launch host gaps are paid
@@ -108,8 +108,12 @@ def time_scan(fn: Callable, x0, iters: int = 50, batches: int = 3) -> float:
 
     def body(_, x):
         y = fn(x)
-        d = (eps * y[:1, :1].astype(jnp.float32)).astype(x.dtype)
-        return x.at[:1, :1].add(d)
+        # quadratic reduction: slices/linear reductions of a dot get
+        # algebraically pushed through by XLA (y[:1,:1] of x@W became a
+        # single dot-product and the "loop" measured 0.009 ms) — sum(y²)
+        # cannot, so the full product must execute every iteration
+        s = jnp.sum(jnp.square(y.astype(jnp.float32)))
+        return x.at[:1, :1].add((eps * s).astype(x.dtype))
 
     def loop(n):
         g = jax.jit(
@@ -124,9 +128,11 @@ def time_scan(fn: Callable, x0, iters: int = 50, batches: int = 3) -> float:
 
         return min(run() for _ in range(batches))
 
-    # two loop lengths; the difference cancels the fetch RTT exactly
-    # (the RTT varies by the hour through the tunnel — subtracting a
-    # separately-measured value produced 0.000 readings)
+    # two loop lengths; the difference cancels the fetch RTT exactly.
+    # iters must be LARGE: tunnel fetch latency varies by +-10 ms
+    # between calls, so the loop-time signal has to dwarf it (512 x a
+    # 0.3 ms product = 150 ms against +-10 ms noise; 30-iter loops
+    # measured pure noise).
     t1 = loop(iters)
     t2 = loop(2 * iters)
     return max((t2 - t1) / iters, 1e-9)

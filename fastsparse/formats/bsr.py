@@ -363,6 +363,14 @@ _PANEL_WIDTHS = (
     128, 160, 192, 256, 320, 384, 512,
 )
 
+# Hard cap on panel width for the fold="f32" kernels: the in-kernel plane
+# split materializes ~10 B/element of the (PK, NB) X slice on the VMEM
+# stack (3 bf16 planes + f32 residual), so PK=W·TK must stay a few
+# thousand columns. A w=128 class (PK=16384) OOM'd scoped vmem by 8.9 MB
+# on rmat s18 (2026-08-20). Strips wider than this run tile buckets (class
+# panels) or multi-item accumulation (mono).
+PANEL_W_MAX = 16
+
 
 def _quantize_widths(wc: np.ndarray, n_slabs: int) -> np.ndarray:
     """Round contiguous widths up the panel ladder, clamped to n_slabs."""
@@ -414,6 +422,11 @@ def _panel_footprint(wq: np.ndarray, ne: np.ndarray) -> int:
 # 192 still compiled but mispicks W through the piece model. Per-item
 # fixed cost in slab-equivalents for the width choice below.
 MONO_WIN_SLABS = 80
+# Item-width cap (slabs): the fold kernel's per-item plane-split stack is
+# ~10 B/element of (W·TK, NB) and sits on top of the double-buffered X
+# window + panel blocks — W=12 keeps the sum under the 16 MB scoped-vmem
+# limit at tile_m=256. Wider strips accumulate over multiple items.
+MONO_W_MAX = 12
 MONO_ITEM_SLABS = 2
 MONO_MAX_ITEMS = 48_000  # 4 prefetched int32 arrays must fit 1 MB SMEM
 # Accept mono when its padded footprint is within this factor of the best
@@ -457,8 +470,9 @@ def _mono_pad_strips(nrow: int, TM: int, TK: int) -> int:
 def _mono_width(p_len: np.ndarray, win_slabs: int, n_empty: int):
     """Pick the uniform item width W from the panel ladder minimizing the
     modeled cost  items·(W + ITEM_SLABS)  in slab-equivalents."""
+    cap = min(win_slabs, MONO_W_MAX)
     best_w, best_cost = None, None
-    for w in [x for x in _PANEL_WIDTHS if x <= win_slabs] or [win_slabs]:
+    for w in [x for x in _PANEL_WIDTHS if x <= cap] or [cap]:
         items = int(np.sum(-(-p_len // w))) + n_empty
         cost = items * (w + MONO_ITEM_SLABS)
         if best_cost is None or cost < best_cost:
@@ -617,7 +631,7 @@ def _build_mono_grouped(
     W = int(np.quantile(spans, 0.95))
     W = int(_quantize_widths(
         np.asarray([W]), max(min(n_slabs, win_slabs), 1))[0])
-    W = min(W, win_slabs)
+    W = min(W, win_slabs, MONO_W_MAX)
     PK = W * TK
     row_bytes = PK // 8 if binary else PK * (
         1 if dtype == jnp.int8 else (4 if dtype == jnp.float32 else 2)
@@ -865,7 +879,13 @@ def build_bsr(
         wq = np.zeros(n_strips, np.int64)
         wq[ne] = _quantize_widths((smax - smin + 1)[ne], n_slabs)
         wq = _merge_panel_classes(wq, ne)
-        panel_slabs = _panel_footprint(wq, ne)
+        # class panels ineligible when any strip needs a fold-kernel
+        # width past the VMEM-stack cap (falls back to tile buckets)
+        panel_slabs = (
+            _panel_footprint(wq, ne)
+            if (not ne.any() or int(wq[ne].max()) <= PANEL_W_MAX)
+            else 0
+        )
         # mono candidate: uniform width, window-split pieces
         mono_plan = None
         if mono_mode in ("auto", "force"):
@@ -905,7 +925,8 @@ def build_bsr(
         if (
             classes_ok or panels is True
         ) and panels is not False and (
-            panels is True or panel_slabs <= flat_tiles
+            panels is True
+            or (panel_slabs > 0 and panel_slabs <= flat_tiles)
         ):
             return _build_panels(
                 rows, cols, coo, is_bin_in, binary, dtype,

@@ -482,8 +482,17 @@ def panel_spmm(
     SG = _pick_panel_group(ns, tile_m, PK, binary, panels.dtype.itemsize)
     if x_rows is None:
         x_rows = x.shape[0]
+    # unsegmented calls use a compile-time-constant X row-block index: a
+    # traced sb[0] map forces Mosaic to double-buffer the resident X
+    # (2x8.4 MB at 16k-col segments blew the 16 MB scoped-vmem limit)
+    windowed = seg is not None
     if seg is None:
         seg = jnp.zeros((1,), jnp.int32)
+    x_index = (
+        (lambda j, i, sb, s: (sb[0], j))
+        if windowed
+        else (lambda j, i, sb, s: (0, j))
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -496,7 +505,7 @@ def panel_spmm(
             ),
             pl.BlockSpec(
                 (x_rows, xnb),
-                lambda j, i, sb, s: (sb[0], j),
+                x_index,
                 memory_space=pltpu.VMEM,
             ),
         ],

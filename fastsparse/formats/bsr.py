@@ -418,9 +418,9 @@ def _panel_footprint(wq: np.ndarray, ne: np.ndarray) -> int:
 # Mono-panel geometry: X window size (slabs). The window block is
 # double-buffered by the Pallas pipeline, so 2·(win·TK·128·4 B) must fit
 # alongside panels/out in the ~16 MB VMEM: win=80 → 2×5.24 MB. Measured
-# (probe_mono_tpu 2026-08-20): win 64/80/96 within noise at the headline;
-# 192 still compiled but mispicks W through the piece model. Per-item
-# fixed cost in slab-equivalents for the width choice below.
+# (probe_mono_tpu / probe_mono6, 2026-08-20): win 48/64/80/96 within
+# tunnel noise at the headline; 80 minimizes window transitions and is
+# the config of the best recorded run (0.208 ms).
 MONO_WIN_SLABS = 80
 # Item-width cap (slabs): the fold kernel's per-item plane-split stack is
 # ~10 B/element of (W·TK, NB) and sits on top of the double-buffered X

@@ -549,8 +549,9 @@ def panel_spmm(
 def _mono_body(
     binary, PK, TK, TM, NB, fold, prec,
     win_ref, strip_ref, start_ref, first_ref, panels_ref, x_ref, o_ref,
+    *scratch,
 ):
-    del win_ref, strip_ref  # consumed by the X/out BlockSpec index maps
+    del strip_ref  # consumed by the out BlockSpec index map
     i = pl.program_id(1)
     a = panels_ref[0]  # (TM, PKstore)
     if binary:
@@ -564,9 +565,12 @@ def _mono_body(
         # through the bf16 cast, so the parity paths still apply
         a = a.astype(jnp.bfloat16)
     st = start_ref[i]
-    xs = x_ref[pl.ds(st * TK, PK), :]
-    if fold == "f32":
-        # fp32-parity planes computed in-kernel (see _panel_body)
+    if fold == "f32" and not scratch:
+        # per-item plane split — the DEFAULT: the per-window scratch
+        # variant below measured ~2x SLOWER in-process (0.57 vs 0.31 ms,
+        # probe_mono6 2026-08-20: reading 3 plane slices from VMEM
+        # scratch costs more than recomputing them from one xs read)
+        xs = x_ref[pl.ds(st * TK, PK), :]
         x0 = xs.astype(jnp.bfloat16)
         r1 = xs - x0.astype(jnp.float32)
         x1 = r1.astype(jnp.bfloat16)
@@ -576,7 +580,39 @@ def _mono_body(
             + jnp.dot(a, x1, preferred_element_type=jnp.float32)
             + jnp.dot(a, x2, preferred_element_type=jnp.float32)
         )
+    elif fold == "f32":
+        # per-WINDOW planes in VMEM scratch (opt-in scratch_planes=True;
+        # measured slower than the per-item split — kept as probe
+        # evidence, see probe_mono6)
+        planes = scratch[0]
+
+        @pl.when((i == 0) | (win_ref[i] != win_ref[jnp.maximum(i - 1, 0)]))
+        def _():
+            xw = x_ref[:]
+            x0 = xw.astype(jnp.bfloat16)
+            r1 = xw - x0.astype(jnp.float32)
+            x1 = r1.astype(jnp.bfloat16)
+            x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+            planes[:, :NB] = x0
+            planes[:, NB : 2 * NB] = x1
+            planes[:, 2 * NB :] = x2
+
+        d = (
+            jnp.dot(
+                a, planes[pl.ds(st * TK, PK), :NB],
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.dot(
+                a, planes[pl.ds(st * TK, PK), NB : 2 * NB],
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.dot(
+                a, planes[pl.ds(st * TK, PK), 2 * NB :],
+                preferred_element_type=jnp.float32,
+            )
+        )
     else:
+        xs = x_ref[pl.ds(st * TK, PK), :]
         a, xs = _match_dot_dtypes(a, xs)
         p = None if a.dtype == jnp.bfloat16 else prec
         d = jnp.dot(a, xs, preferred_element_type=jnp.float32, precision=p)
@@ -598,7 +634,7 @@ def _mono_body(
     jax.jit,
     static_argnames=(
         "tile_m", "tile_k", "width", "win_slabs", "binary", "n_block",
-        "fold", "precision", "out_rows",
+        "fold", "precision", "out_rows", "scratch_planes",
     ),
 )
 def mono_panel_spmm(
@@ -618,6 +654,7 @@ def mono_panel_spmm(
     fold,
     precision: str = "highest",
     out_rows: int | None = None,
+    scratch_planes: bool = False,
 ) -> jax.Array:
     """``Y = A @ X`` for a MonoPanelBucket in ONE kernel launch.
 
@@ -640,6 +677,11 @@ def mono_panel_spmm(
     win_rows = win_slabs * tile_k
     assert x.shape[0] % win_rows == 0
 
+    scratch = (
+        [pltpu.VMEM((win_rows, 3 * NB), jnp.bfloat16)]
+        if fold == "f32" and scratch_planes
+        else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nj, ni),
@@ -660,6 +702,7 @@ def mono_panel_spmm(
             lambda j, i, sw, ss, sr, sf: (ss[i], j),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=scratch,
     )
     flops = 2 * ni * tile_m * PK * (3 * Npad if fold else Npad)
     abytes = panels.size * panels.dtype.itemsize

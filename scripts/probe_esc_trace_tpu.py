@@ -9,6 +9,8 @@ import json
 import time
 from collections import defaultdict
 
+import sys
+
 import numpy as np
 
 from fastsparse.utils.cache import enable_persistent_cache
@@ -19,14 +21,17 @@ import jax
 import jax.numpy as jnp
 
 import fastsparse as fs
-from fastsparse.bench.matrices import rmat
+from fastsparse.bench.matrices import banded, rmat
 from fastsparse.ops import spgemm as SG
 from fastsparse.utils.profiling import trace
 
 assert jax.default_backend() == "tpu"
 
-A = rmat(13, 8, seed=5, binary=False)
-B = rmat(13, 8, seed=6, binary=False)
+if len(sys.argv) > 1 and sys.argv[1] == "cage":
+    A = B = banded(130_228, 64, seed=11, density=0.273)
+else:
+    A = rmat(13, 8, seed=5, binary=False)
+    B = rmat(13, 8, seed=6, binary=False)
 A_dev = fs.coo_from_scipy(A.tocoo(), dtype=np.float32)
 B_dev = fs.coo_from_scipy(B.tocoo(), dtype=np.float32)
 float(jnp.sum(A_dev.vals))

@@ -241,3 +241,19 @@ def test_spgemm_esc_wide_dims_unpacked_keys():
     d = np.abs(got - ref)
     rel = float(d.max() / (np.abs(ref).max() + 1e-30)) if d.nnz else 0.0
     assert rel < 1e-5
+
+
+def test_spgemm_esc_same_operand_squared():
+    """A @ A with the SAME object: the symmetric prep (one sort) path."""
+    from fastsparse.ops.spgemm import spgemm_esc
+    import fastsparse as fs
+
+    A = C.random_csr(250, 250, 0.04, seed=31, dtype=np.float32)
+    A_dev = fs.coo_from_scipy(A.tocoo(), dtype=np.float32)
+    C_out, info = spgemm_esc(A_dev, A_dev)
+    ref = (A @ A).tocsr()
+    assert info["nnz"] == ref.nnz
+    got = C_out.to_scipy().tocsr()
+    d = np.abs(got - ref)
+    rel = float(d.max() / (np.abs(ref).max() + 1e-30)) if d.nnz else 0.0
+    assert rel < 1e-5

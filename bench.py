@@ -242,9 +242,9 @@ def child() -> None:
         # sol_frac reads as ~0 on hypersparse structure, but the kernel
         # runs near ITS bound — emit both (VERDICT r2 weak #5)
         from fastsparse.bench.metrics import tree_nbytes as _tnb
-        from fastsparse.bench.model import GATHER_PAD, GATHER_SLOT_S
+        from fastsparse.bench.model import GATHER_FLOOR_S
 
-        floor_ms = GATHER_SLOT_S * GATHER_PAD * int(mp.nnz) * 1e3
+        floor_ms = GATHER_FLOOR_S * int(mp.nnz) * 1e3
         detail["hypersparse_powerlaw"] = {
             "ms": round(dtp * 1e3, 3),
             "nnz_per_s": round(mp.nnz / dtp, 1),

@@ -31,6 +31,11 @@ DENSE_TILE_S = 100e-9
 GATHER_SLOT_S = 2.5e-9
 # Padding is folded into GATHER_SLOT_S (kept for API compatibility).
 GATHER_PAD = 1.0
+# Reporting-only engine FLOOR (a lower bound, distinct from the
+# format-selection cost constant above): best measured rate is
+# ~2.1 ns/raw-nonzero (ecfp 3.2M nnz in 6.8 ms), so 2.0 ns is a safe
+# bound — bench rows print measured/floor as `engine_frac ≤ 1`.
+GATHER_FLOOR_S = 2.0e-9
 
 # BSR tile cost as a function of tile height (2026-08-17 tile_m sweep,
 # banded 50k bw512 binary N=128: 147/457/1816 ns per tile at tm=8/32/128):

@@ -104,10 +104,10 @@ def tpu_configs():
         # kernel runs near ITS bound — emit both (VERDICT r2 weak #5)
         from fastsparse.formats.ell import EllMatrix, SegmentedEll
         from fastsparse.formats.hybrid import HybridMatrix
-        from fastsparse.bench.model import GATHER_PAD, GATHER_SLOT_S
+        from fastsparse.bench.model import GATHER_FLOOR_S
 
         if isinstance(op.fwd, (EllMatrix, SegmentedEll, HybridMatrix)):
-            floor = GATHER_SLOT_S * GATHER_PAD * nnz
+            floor = GATHER_FLOOR_S * nnz
             out["engine_floor_ms"] = round(floor * 1e3, 3)
             out["engine_frac"] = round(floor / dt, 4)
         return out

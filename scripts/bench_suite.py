@@ -261,6 +261,54 @@ def tpu_configs():
              "note": "two SpMM passes over dual tilings + reg axpy"},
         )
 
+    # Consumer loop (SURVEY.md §3.3): the Macau/SMURFF inner solve —
+    # blocked CG on (AᵀA + reg·I)X = B, N=32 latent factors, one jitted
+    # while_loop over mono-chained normal products (zero host round
+    # trips). Reported per CG iteration: the number the reference's
+    # bcsr_AA_mul_B exists to serve.
+    if want("5cg"):
+        from fastsparse.solvers.cg import cg_normal
+
+        mat5 = banded(50_000, 512, seed=4)
+        mat5.data[:] = 1.0
+        op5 = fs.operator(mat5, format="bsr", transpose=True)
+        B5 = jnp.asarray(
+            rng.standard_normal((mat5.shape[1], 32)), jnp.float32
+        )
+        # reg sets the conditioning: banded-ones AᵀA has λ_max ≈ 4e4, so
+        # reg=50 → κ ≈ 800 (converges ~80 fp64 iters; fp64 CG at reg=0.5
+        # measured relres 1.3 after 60 iters — unreachable). The fp32
+        # floor is ~matvec_rel·κ ≈ 1e-6·800, hence tol 1e-3 / bar 5e-3.
+        reg5 = 50.0
+        res = cg_normal(op5, B5, reg=reg5, tol=1e-3, maxiter=150)
+        iters = int(res.iters)
+        # correctness: residual of the returned solution vs scipy mats
+        x_h = np.asarray(res.x, np.float64)
+        r_h = (
+            np.asarray(B5, np.float64)
+            - (mat5.T @ (mat5 @ x_h) + reg5 * x_h)
+        )
+        relres = float(
+            np.linalg.norm(r_h) / np.linalg.norm(np.asarray(B5))
+        )
+        assert relres < 5e-3, f"cg relres {relres:.2e}"
+        t0 = time.perf_counter()
+        reps5 = 3
+        for _ in range(reps5):
+            res = cg_normal(op5, B5, reg=reg5, tol=1e-3, maxiter=150)
+            float(jnp.sum(res.x))  # fetch forces the solve
+        dt = (time.perf_counter() - t0) / reps5
+        record(
+            "5 Macau CG inner solve banded 50k N=32", "cg_ms_per_iter",
+            dt * 1e3 / max(iters, 1), "ms/iter",
+            {
+                "solve_ms": round(dt * 1e3, 2),
+                "iters": iters,
+                "relres": relres,
+                "note": "jitted while_loop; mono-chain normal products",
+            },
+        )
+
     # BASELINE config 4: SpGEMM with fused output-nnz estimation.
     # Default path is ESC (expand-sort-compress): exact est_nnz, work
     # proportional to true scalar products. cage12/webbase-1M stand-ins

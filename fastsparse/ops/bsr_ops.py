@@ -371,9 +371,14 @@ def _assemble_strips(A, sids, parts, Npad, ydtype):
     return Y[:nsp].reshape(nsp * TM, Npad)
 
 
-def _pack_narrow_planes(X, K: int, nq: int) -> jax.Array:
-    """Pack f32 ``X[ncol, N]`` into the narrow plane layout: bf16[K, 128]
+def _pack_narrow_planes(X, K: int, nq: int, nb: int = LANES) -> jax.Array:
+    """Pack f32 ``X[ncol, N]`` into the narrow plane layout: bf16[K, nb]
     = ``[x0 | x1 | x2 | 0-tail]`` with each plane padded to ``nq`` columns.
+
+    ``nb`` is the block lane width: the mono path passes ``3·nq`` (Mosaic
+    accepts blocks whose lane dim equals the array's — measured SpMV
+    0.458 -> 0.199 ms, probe_spmv_narrow_tpu 2026-08-20); the segmented
+    panel paths keep the full 128 (their window specs share one global X).
 
     Pure pad/concatenate — no scatter, so it traces cleanly inside
     `shard_map` bodies on explicit-axes meshes (scatter's sharding rule
@@ -385,9 +390,10 @@ def _pack_narrow_planes(X, K: int, nq: int) -> jax.Array:
         # extra rows can't be addressed by any slab — drop them
         Xf = Xf[:K]
     Xf = jnp.pad(Xf, ((0, max(K - ncol, 0)), (0, nq - N)))
-    hi, h1, x2 = _split_bf16_planes(Xf)
-    tail = jnp.zeros((K, LANES - 3 * nq), jnp.bfloat16)
-    return jnp.concatenate([hi, h1, x2, tail], axis=1)
+    planes = _split_bf16_planes(Xf)
+    if nb > 3 * nq:
+        planes = planes + (jnp.zeros((K, nb - 3 * nq), jnp.bfloat16),)
+    return jnp.concatenate(planes, axis=1)
 
 
 def _narrow_nq(N: int) -> int:
@@ -496,7 +502,11 @@ def _prep_mono_x(A, X, N, precision):
     )
     nq = _narrow_nq(N) if parity else 0
     if nq:
-        return _pack_narrow_planes(X, K_pad, nq), LANES, LANES, False, nq
+        # narrow lane width 3·nq (not 128): SpMV/narrow-RHS X and Y
+        # arrays shrink to the lanes actually used — banded-50k SpMV
+        # 0.458 -> 0.199 ms at identical parity (probe_spmv_narrow_tpu)
+        nb = 3 * nq
+        return _pack_narrow_planes(X, K_pad, nq, nb), nb, nb, False, nq
     NB = LANES
     Npad = _round_up(N, NB)
     if X.shape == (K_pad, Npad):

@@ -55,7 +55,8 @@ class Config:
       rhs_panel: default number of RHS columns processed per SpMM panel.
       mesh_axis: name of the 1-D device-mesh axis used for row partitioning.
       binary_tiles: tile storage for binary matrices on the BSR/MXU path —
-        "bf16" (default, fastest) or "bitmask" (32x smaller; see below).
+        "int8" (default: int8 mono panels, bf16 elsewhere), "bf16", or
+        "bitmask" (32x smaller; see below).
     """
 
     tile_m: int = 8
@@ -65,6 +66,12 @@ class Config:
     rhs_panel: int = 128
     mesh_axis: str = "rows"
     # Tile storage for *binary* matrices on the MXU (BSR) path:
+    #   "int8"    — (default) 0/1 values stored as int8 on MONO layouts
+    #               (1 B/slot; the mono kernel casts to bf16 in-kernel,
+    #               exact). Measured faster-or-tie at every RHS width on
+    #               v5e (SpMV 0.345 -> 0.161 ms, N=128 0.406 -> 0.337,
+    #               N=32 tie; interleaved-min A/B 2026-08-20). Non-mono
+    #               layouts fall back to bf16 tiles.
     #   "bf16"    — 0/1 values stored as bf16 (exact). 2 B/slot of HBM but
     #               no per-use mask expansion; measured v5e headline
     #               (banded 50k bw512 N=128, tm=128): 1.66 ms vs 3.39 ms —
@@ -72,7 +79,7 @@ class Config:
     #               tiles (scripts/probe_tilecost_tpu.py).
     #   "bitmask" — 1 bit/slot (32x less A traffic/storage); best when HBM
     #               capacity or tile-DMA bandwidth is the binding limit.
-    binary_tiles: str = "bf16"
+    binary_tiles: str = "int8"
     # Row-strip panels ("auto"/"off"): when a strip's occupied column slabs
     # are (nearly) contiguous — banded/clustered structure — store the strip
     # as ONE (TM, W·TK) panel with a start slab instead of W separate tiles.

@@ -272,14 +272,19 @@ class BsrMatrix:
             wide = nsl * TK
             for b in self.buckets:
                 wide = max(wide, b.n_windows * b.win_slabs * TK)
-            outp = jnp.zeros((nsp + 1, TM, wide), self.dtype)
+            # int8 panels (binary_tiles="int8") densify as f32 — callers
+            # expect a float matrix, and 0/1 is exact either way
+            ddt = (
+                jnp.float32 if self.dtype == jnp.int8 else self.dtype
+            )
+            outp = jnp.zeros((nsp + 1, TM, wide), ddt)
             for b in self.buckets:
                 PK = b.width * TK
                 panels = b.panels
                 if self.binary:
-                    panels = expand_bits_reference(panels, PK).astype(
-                        self.dtype
-                    )
+                    panels = expand_bits_reference(panels, PK).astype(ddt)
+                elif panels.dtype != ddt:
+                    panels = panels.astype(ddt)
                 if isinstance(b, MonoGroupBucket):
                     sids = jnp.arange(b.ns, dtype=jnp.int32)
                     win = b.windows[sids // b.group]
@@ -785,15 +790,25 @@ def build_bsr(
     else:
         raise TypeError(f"unsupported input {type(mat).__name__}")
     is_bin_in = isinstance(coo, BinaryCOO)
+    mono_int8 = False
     if binary is None:
-        # bf16-valued tiles (0/1 exact in bf16) beat bitmask+expansion
-        # 2.1x on v5e (the per-use VPU mask expansion dominates bitmask
-        # tiles — scripts/probe_tilecost_tpu.py); bitmask remains the
+        # Valued tiles (0/1 exact) beat bitmask+expansion 2.1x on v5e
+        # (the per-use VPU mask expansion dominates bitmask tiles —
+        # scripts/probe_tilecost_tpu.py); bitmask remains the
         # capacity-optimal storage via Config(binary_tiles="bitmask") or
         # binary=True.
-        if is_bin_in and dtype is None and config.binary_tiles == "bf16":
+        if is_bin_in and dtype is None and config.binary_tiles in (
+            "bf16", "int8",
+        ):
             binary = False
             dtype = jnp.bfloat16
+            # "int8" (default): MONO layouts store the 0/1 values as int8
+            # — half the panel DMA bytes; the mono kernel casts to bf16
+            # in-kernel (exact), measured faster-or-tie at every N
+            # (SpMV 0.345 -> 0.161 ms, N=128 0.406 -> 0.337, N=32 tie;
+            # interleaved mins, 2026-08-20). Non-mono layouts keep bf16:
+            # the panel/bucket kernels carry no int8 cast branch.
+            mono_int8 = config.binary_tiles == "int8"
         else:
             binary = is_bin_in
     if binary and not is_bin_in:
@@ -905,9 +920,10 @@ def build_bsr(
             # grouped is opt-in (probe_mono4: the spill side launch + Y
             # scatter-add cost more than G-grouping saves on real data)
             g = None
+            mono_dtype = jnp.int8 if mono_int8 else dtype
             if getattr(config, "bsr_mono_grouped", False):
                 g = _build_mono_grouped(
-                    rows, cols, coo, is_bin_in, binary, dtype,
+                    rows, cols, coo, is_bin_in, binary, mono_dtype,
                     (nrow, ncol), n_strips, n_slabs, TM, TK, win_slabs,
                     smin, smax, ne, int(upair.size),
                     best_alt if mono_mode != "force" else mono_plan[5],
@@ -915,7 +931,7 @@ def build_bsr(
             if g is not None:
                 return g
             return _build_mono(
-                rows, cols, coo, is_bin_in, binary, dtype,
+                rows, cols, coo, is_bin_in, binary, mono_dtype,
                 (nrow, ncol), n_strips, n_slabs, TM, TK, W, win_slabs,
                 p_strip, p_lo, p_len, int(upair.size),
             )

@@ -307,7 +307,7 @@ def partition_rows(
         tile_dtype = (
             jnp.bfloat16
             if dtype is None
-            and config.binary_tiles == "bf16"
+            and config.binary_tiles in ("bf16", "int8")
             and vals.size
             and bool((vals == 1).all())
             else None

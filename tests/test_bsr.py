@@ -42,12 +42,13 @@ def test_bsr_roundtrip_binary(name, make):
     A = build_bsr(binary_coo_from_scipy(m), binary=True)
     assert A.binary
     np.testing.assert_allclose(np.asarray(A.todense()), m.toarray(), atol=0)
-    # the DEFAULT for binary inputs is bf16-valued tiles (0/1 exact in
-    # bf16; no per-use mask expansion — Config.binary_tiles)
+    # the DEFAULT for binary inputs is valued tiles (0/1 exact): int8 on
+    # mono layouts, bf16 elsewhere — no per-use mask expansion
+    # (Config.binary_tiles="int8")
     B = build_bsr(binary_coo_from_scipy(m))
     assert not B.binary
     if B.buckets:
-        assert B.dtype == jnp.bfloat16
+        assert B.dtype in (jnp.bfloat16, jnp.int8)
     np.testing.assert_allclose(np.asarray(B.todense()), m.toarray(), atol=0)
 
 

@@ -51,7 +51,10 @@ def test_binary_auto(prob):
     from fastsparse import BsrMatrix
 
     assert isinstance(op.fwd, BsrMatrix)
-    assert not op.fwd.binary and op.fwd.dtype == jnp.bfloat16
+    # binary default: int8 panels on mono layouts, bf16 tiles elsewhere
+    # (Config.binary_tiles="int8"; both exact for 0/1)
+    assert not op.fwd.binary
+    assert op.fwd.dtype in (jnp.bfloat16, jnp.int8)
     x = np.random.default_rng(2).standard_normal(240).astype(np.float32)
     np.testing.assert_allclose(np.asarray(op.matvec(x)), m @ x, rtol=2e-5, atol=2e-5)
 

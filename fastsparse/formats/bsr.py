@@ -790,7 +790,7 @@ def build_bsr(
     else:
         raise TypeError(f"unsupported input {type(mat).__name__}")
     is_bin_in = isinstance(coo, BinaryCOO)
-    mono_int8 = False
+    int8_tiles = False
     if binary is None:
         # Valued tiles (0/1 exact) beat bitmask+expansion 2.1x on v5e
         # (the per-use VPU mask expansion dominates bitmask tiles —
@@ -802,13 +802,13 @@ def build_bsr(
         ):
             binary = False
             dtype = jnp.bfloat16
-            # "int8" (default): MONO layouts store the 0/1 values as int8
-            # — half the panel DMA bytes; the mono kernel casts to bf16
-            # in-kernel (exact), measured faster-or-tie at every N
-            # (SpMV 0.345 -> 0.161 ms, N=128 0.406 -> 0.337, N=32 tie;
-            # interleaved mins, 2026-08-20). Non-mono layouts keep bf16:
-            # the panel/bucket kernels carry no int8 cast branch.
-            mono_int8 = config.binary_tiles == "int8"
+            # "int8" (default): panel layouts (mono AND class panels)
+            # store the 0/1 values as int8 — half the panel DMA bytes;
+            # the kernels cast to bf16 in-kernel (exact), measured
+            # faster-or-tie at every N (SpMV 0.345 -> 0.161 ms, N=128
+            # 0.406 -> 0.337, N=32 tie; interleaved mins, 2026-08-20).
+            # Tile-bucket layouts keep bf16 (no cast branch there).
+            int8_tiles = config.binary_tiles == "int8"
         else:
             binary = is_bin_in
     if binary and not is_bin_in:
@@ -920,7 +920,7 @@ def build_bsr(
             # grouped is opt-in (probe_mono4: the spill side launch + Y
             # scatter-add cost more than G-grouping saves on real data)
             g = None
-            mono_dtype = jnp.int8 if mono_int8 else dtype
+            mono_dtype = jnp.int8 if int8_tiles else dtype
             if getattr(config, "bsr_mono_grouped", False):
                 g = _build_mono_grouped(
                     rows, cols, coo, is_bin_in, binary, mono_dtype,
@@ -945,7 +945,8 @@ def build_bsr(
             or (panel_slabs > 0 and panel_slabs <= flat_tiles)
         ):
             return _build_panels(
-                rows, cols, coo, is_bin_in, binary, dtype,
+                rows, cols, coo, is_bin_in, binary,
+                jnp.int8 if int8_tiles else dtype,
                 (nrow, ncol), n_strips, n_slabs, TM, TK, wq, smin,
                 int(upair.size),
             )

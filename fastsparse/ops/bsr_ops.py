@@ -410,7 +410,9 @@ def _prep_panel_x(A, X, N, precision):
     ncol = A.shape[1]
     TK = A.tile_k
     nsl = A.n_slabs
-    exact_bf16 = A.binary or A.dtype == jnp.bfloat16
+    # int8 panels (0/±1..±127 exact in bf16 after the in-kernel cast)
+    # ride the same fp32-parity plane paths as bf16-valued/bitmask panels
+    exact_bf16 = A.binary or A.dtype in (jnp.bfloat16, jnp.int8)
     parity = (
         exact_bf16 and precision == "highest" and X.dtype == jnp.float32
     )
@@ -628,7 +630,7 @@ def mono_chain(A, At, X, precision="highest"):
 def _seg_mode(seg, N, x_dtype, precision):
     """(Npad, nq) the `bsr_spmm` paths will produce for this segment —
     must agree across segments for the cross-segment plan assembly."""
-    exact = seg.binary or seg.dtype == jnp.bfloat16
+    exact = seg.binary or seg.dtype in (jnp.bfloat16, jnp.int8)
     parity = exact and precision == "highest" and x_dtype == jnp.float32
     if seg.is_panel:
         nq = _narrow_nq(N) if parity else 0
@@ -667,7 +669,7 @@ def _colseg_panel_parts_global(A, X, N, Npad, nq, precision):
     K_rows = len(segs) * nsl_u * TK
     ncol = A.shape[1]
     first = segs[0]
-    exact_bf16 = first.binary or first.dtype == jnp.bfloat16
+    exact_bf16 = first.binary or first.dtype in (jnp.bfloat16, jnp.int8)
     parity = (
         exact_bf16 and precision == "highest" and X.dtype == jnp.float32
     )

@@ -391,6 +391,10 @@ def _panel_body(
             # exact: the 0/1 mask is bf16-representable; one MXU pass per
             # X plane instead of HIGHEST's six
             a = a.astype(jnp.bfloat16)
+        elif a.dtype == jnp.int8:
+            # half the panel DMA bytes of bf16; small-int values are
+            # exact through the bf16 cast (binary_tiles="int8" default)
+            a = a.astype(jnp.bfloat16)
         xs = x_ref[pl.ds(st * TK, PK), :]
         if fold == "f32":
             # fp32-parity planes computed IN-KERNEL on the (PK, NB) slice:

@@ -40,6 +40,14 @@ _SMEM_IDX_BUDGET = 64 * 1024  # int32 entries -> 256 KB
 # pre-splitting X at the XLA level (False) — see _prep_panel_x.
 PANEL_FOLD_IN_KERNEL = True
 
+# Mono pre-stacked-planes budget, in conservatively-doubled block bytes
+# (window + panel + out, x2 for double buffering). The headline config
+# (win=80, tm=256, W=6 int8) computes 16.4 MB by this accounting and is
+# measured to lower and win (the true occupancy is evidently below the
+# 16 MB scoped-VMEM wall — not everything double-buffers); anything
+# bigger is unproven and falls back to the in-kernel split.
+MONO_PREFOLD_VMEM = int(16.5 * 2**20)
+
 
 from ..utils.shapes import round_up as _round_up
 
@@ -515,9 +523,21 @@ def _prep_mono_x(A, X, N, precision):
         Xp = X
     else:
         Xp = jnp.zeros((K_pad, Npad), X.dtype).at[: X.shape[0], :N].set(X)
-    if parity and PANEL_FOLD_IN_KERNEL:
-        return Xp, NB, Npad, "f32", 0
     if parity:
+        # pre-stacked 3-plane X (one wide dot, no per-item VPU split)
+        # beats the in-kernel split at wide N on mono: 0.314 vs 0.378 ms
+        # headline A/B (2026-08-20) — the split costs ~0.5 us/item. Take
+        # it when the double-buffered 3-plane window block still fits
+        # scoped VMEM; fall back to the in-kernel split otherwise.
+        vmem = 2 * (
+            b.win_slabs * TK * 3 * NB * 2  # 3-plane bf16 window block
+            + A.tile_m * b.width * TK * b.panels.dtype.itemsize
+            + A.tile_m * NB * 4  # f32 output block
+        )
+        if vmem <= MONO_PREFOLD_VMEM:
+            return _stack_planes(Xp, NB, Npad), NB, Npad, True, 0
+        if PANEL_FOLD_IN_KERNEL:
+            return Xp, NB, Npad, "f32", 0
         return _stack_planes(Xp, NB, Npad), NB, Npad, True, 0
     return Xp, NB, Npad, False, 0
 

@@ -221,6 +221,13 @@ def child() -> None:
         ref1 = ref[:, :1]
         err1 = float(np.abs(y1 - ref1).max() / (np.abs(ref1).max() + 1e-30))
         assert err1 < 1e-6, f"wrong SpMV result: rel={err1}"
+        # warm spin: small-kernel latency ramps DOWN under sustained
+        # device traffic (measured same-process: 0.645 ms at process
+        # start -> 0.198 ms after a 256-iter chained scan; probe_order
+        # 2026-08-20) — spin before measuring so the row reflects the
+        # steady state a solver loop actually sees.
+        for _ in range(3):
+            time_fn(stepv, op, x1, reps=30)
         ts1 = time_fn_stats(stepv, op, x1, batches=5, reps=30)
         # min-of-batches: SpMV is ~0.15-0.2 ms, the same order as the
         # tunnel's per-call RTT jitter — medians catch 2-4x spikes that

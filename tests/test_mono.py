@@ -300,3 +300,20 @@ def test_mono_auto_tile_m_256_upgrade():
         m, format="bsr", transpose=False, config=Config(tile_m=128)
     )
     assert op2.fwd.tile_m == 128
+
+def test_binary_default_is_int8_mono(small_windows):
+    """Policy lock: binary banded input -> mono layout with int8 panels
+    (Config.binary_tiles="int8" default; measured faster-or-tie at every
+    RHS width, BENCH.md 2026-08-20), exact vs the fp64 oracle."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    m = _banded(rng, 1200, 3200, 220)
+    m.data[:] = 1.0
+    op = fs.operator(m, format="bsr", transpose=True)
+    assert op.fwd.is_mono and op.fwd.dtype == jnp.int8
+    assert op.bwd.is_mono and op.bwd.dtype == jnp.int8
+    x = np.asarray(rng.standard_normal(3200), np.float32)
+    assert _rel(np.asarray(op.matvec(x)), m @ x) < 1e-6
+    X = np.asarray(rng.standard_normal((3200, 64)), np.float32)
+    assert _rel(np.asarray(op.matmat(X)), m @ X) < 1e-6

@@ -7,7 +7,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .timing import time_chain
 
 __all__ = ["measure_hbm_bw", "spmm_sol_seconds", "spmv_sol_seconds"]
 
@@ -26,20 +25,37 @@ def measure_hbm_bw(nbytes: int = 256 * 1024 * 1024, reps: int = 10) -> float:
     the smallest reading above the floorless minimum so downstream SoL
     math stays finite and pessimistic-for-us (higher bw = harder target
     would be wrong to fake, lower = inflated vs_baseline)."""
+    import time as _time
+
     n = nbytes // 4
     x = jnp.arange(n, dtype=jnp.float32)
     f = jax.jit(lambda x: x + 1.0)
+
+    def chain(k):
+        t0 = _time.perf_counter()
+        y = x
+        for _ in range(k):
+            y = f(y)
+        float(y[0])  # fetch
+        return _time.perf_counter() - t0
+
+    chain(2)  # warm
     readings = []
     for _ in range(5):
-        dt = time_chain(f, x, reps=reps)
-        bw = 2 * nbytes / dt  # one read + one write per element
+        # two-length difference: the fetch RTT (~25 ms, jittering by
+        # +-10 ms) cancels exactly instead of being subtracted from a
+        # ~6 ms signal — the old time_chain subtraction produced 320 GB/s
+        # to 8.5 TB/s "readings" on an ~820 GB/s chip.
+        short, long_ = reps, 4 * reps
+        dt = (chain(long_) - chain(short)) / (long_ - short)
+        bw = 2 * nbytes / max(dt, 1e-9)
         readings.append(bw)
         if BW_FLOOR <= bw <= BW_CEIL:
             return bw
     valid = [b for b in readings if BW_FLOOR <= b <= BW_CEIL]
     if valid:
         return max(valid)
-    return min(max(b, BW_FLOOR) for b in readings)
+    return min(BW_CEIL, max(min(readings), BW_FLOOR))
 
 
 def _ideal_a_bytes(nnz: int, binary: bool, itemsize: int, ideal: str) -> int:

@@ -170,6 +170,13 @@ def child() -> None:
         busy_ms = round(busy_s * 1e3, 3)
     except Exception:  # pragma: no cover - square-shape-only helper
         busy_s, busy_ms = None, None
+    # plausibility guard: time_scan's two-length difference clamps to
+    # 1e-9 when a tunnel wedge lands between its loops — an absurd busy
+    # reading must not become the headline. A real 8M-nnz N=128 product
+    # cannot run under 10 us on one chip, and busy cannot exceed the
+    # per-dispatch wall.
+    if busy_s is not None and not (1e-5 < busy_s <= wall_s):
+        busy_s = None
     dt = busy_s if busy_s else wall_s
 
     # median-of-3: readings are well-conditioned since the two-length

@@ -21,6 +21,7 @@ __all__ = [
     "time_fn",
     "time_fn_stats",
     "time_chain",
+    "time_chain_diff",
     "time_scan",
 ]
 
@@ -140,13 +141,27 @@ def time_scan(fn: Callable, x0, iters: int = 512, batches: int = 5) -> float:
 
 def time_chain(fn: Callable, x0, reps: int = 10) -> float:
     """Timing with a data-dependency chain ``y = fn(y)`` (for ops whose
-    output feeds back as input; strongest guarantee of serialization)."""
-    rtt = measure_rtt()
-    y = fn(x0)
-    fetch_scalar(y)
-    t0 = time.perf_counter()
-    y = x0
-    for _ in range(reps):
-        y = fn(y)
-    fetch_scalar(y)
-    return max((time.perf_counter() - t0 - rtt) / reps, 1e-9)
+    output feeds back as input; strongest guarantee of serialization).
+
+    Implemented as a two-length difference (`time_chain_diff`): the old
+    ``elapsed - rtt`` subtraction was ill-conditioned when the signal is
+    the same order as the ~25 ms RTT jitter — it produced 320 GB/s to
+    8.5 TB/s "bandwidth readings" on an ~820 GB/s chip."""
+    return time_chain_diff(fn, x0, reps)
+
+
+def time_chain_diff(fn: Callable, x0, reps: int = 10) -> float:
+    """Per-call seconds for the chain ``y = fn(y)`` via the difference of
+    a ``reps`` and a ``4*reps`` chain — the fetch RTT cancels exactly."""
+
+    def chain(k: int) -> float:
+        t0 = time.perf_counter()
+        y = x0
+        for _ in range(k):
+            y = fn(y)
+        fetch_scalar(y)
+        return time.perf_counter() - t0
+
+    chain(2)  # warm the compile + device path
+    short, long_ = reps, 4 * reps
+    return max((chain(long_) - chain(short)) / (long_ - short), 1e-9)

@@ -303,12 +303,16 @@ class BsrMatrix:
             dense = outp[:nsp, :, : nsl * TK].reshape(nsp * TM, nsl * TK)
             return dense[: self.shape[0], : self.shape[1]]
         if self.is_panel:
-            outp = jnp.zeros((nsp + 1, TM, nsl * TK), self.dtype)
+            # int8 panels densify as f32 (callers expect a float matrix)
+            ddt = jnp.float32 if self.dtype == jnp.int8 else self.dtype
+            outp = jnp.zeros((nsp + 1, TM, nsl * TK), ddt)
             for b in self.buckets:
                 PK = b.width * TK
                 panels = b.panels
                 if self.binary:
-                    panels = expand_bits_reference(panels, PK).astype(self.dtype)
+                    panels = expand_bits_reference(panels, PK).astype(ddt)
+                elif panels.dtype != ddt:
+                    panels = panels.astype(ddt)
                 # scatter each strip's panel at its start column
                 cols = (
                     b.start_slab[:, None] * TK + jnp.arange(PK)[None, :]

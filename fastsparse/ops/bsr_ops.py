@@ -536,9 +536,10 @@ def _prep_mono_x(A, X, N, precision):
         )
         if vmem <= MONO_PREFOLD_VMEM:
             return _stack_planes(Xp, NB, Npad), NB, Npad, True, 0
-        if PANEL_FOLD_IN_KERNEL:
-            return Xp, NB, Npad, "f32", 0
-        return _stack_planes(Xp, NB, Npad), NB, Npad, True, 0
+        # over budget: ALWAYS the in-kernel split — the 3-plane window
+        # would bust scoped VMEM (A/B the prefold by monkeypatching
+        # MONO_PREFOLD_VMEM, not PANEL_FOLD_IN_KERNEL)
+        return Xp, NB, Npad, "f32", 0
     return Xp, NB, Npad, False, 0
 
 

@@ -8,7 +8,7 @@ dataclass passed explicitly (or defaulted) rather than a flag framework.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -44,8 +44,12 @@ class Config:
     """Tuning knobs for format compilation and kernels.
 
     Attributes:
-      tile_m: rows per row-strip in tiled formats. Defaults to the fp32
-        sublane count (8); use 16 for bf16 tile values.
+      tile_m: rows per row-strip in tiled formats. ``None`` (the default)
+        means *auto*: `operator()` picks the modeled-best height for the
+        matrix (`bench.model.best_tile_m` — measured up to 6x faster than
+        a pinned 8 on banded structure); direct builder calls resolve
+        ``None`` to the fp32 sublane count (8) via :meth:`resolve`. Set an
+        int only to pin the height explicitly.
       tile_k: columns per column-slab. Always a multiple of the 128-lane
         width so slabs map directly onto VPU/MXU tiles.
       ell_bucket_widths: allowed padded nnz-per-row widths for the bucketed
@@ -59,7 +63,7 @@ class Config:
         "bitmask" (32x smaller; see below).
     """
 
-    tile_m: int = 8
+    tile_m: Optional[int] = None
     tile_k: int = LANES
     ell_bucket_widths: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
     bsr_bucket_tiles: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
@@ -100,6 +104,19 @@ class Config:
     # 0.338 ms on the banded headline, probe_mono4 2026-08-20). Kept as
     # an opt-in for spill-free structures.
     bsr_mono_grouped: bool = False
+
+    def resolve(self, tile_m: int = 8) -> "Config":
+        """Resolve the ``tile_m=None`` auto sentinel to a concrete height.
+
+        Builders that need an int (``build_bsr`` etc.) call this with the
+        baseline 8; `operator()` substitutes the modeled-best height
+        instead. A config with ``tile_m`` already set returns unchanged —
+        field-for-field equality with DEFAULT is what matters, never
+        object identity (``Config()`` and ``DEFAULT`` behave the same).
+        """
+        if self.tile_m is not None:
+            return self
+        return dataclasses.replace(self, tile_m=tile_m)
 
 
 DEFAULT = Config()

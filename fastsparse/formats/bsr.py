@@ -44,6 +44,7 @@ __all__ = [
     "MonoGroupBucket",
     "BsrMatrix",
     "build_bsr",
+    "build_bsr_mono_uniform",
     "expand_bits_reference",
 ]
 
@@ -782,6 +783,7 @@ def build_bsr(
     footprint decision — callers (``linops._compile_one``) use it to probe
     whether a wide matrix can skip column segmentation entirely.
     """
+    config = config.resolve()
     TM, TK = config.tile_m, config.tile_k
     if TK % 32:
         raise ValueError("tile_k must be a multiple of 32 for bitmask tiles")
@@ -1022,6 +1024,138 @@ def build_bsr(
         tile_k=TK,
         binary=bool(binary),
     )
+
+
+def _mono_shard_stats(rows, cols, n_strips, n_slabs, TM, TK):
+    """Host strip stats for one shard: (smin, smax, ne, n_occupied_tiles)."""
+    strip = rows // TM
+    slab = cols // TK
+    upair = np.unique(strip * np.int64(n_slabs) + slab)
+    ustrip = (upair // n_slabs).astype(np.int64)
+    uslab = (upair % n_slabs).astype(np.int64)
+    BIG = np.int64(1) << 60
+    smin = np.full(n_strips, BIG, np.int64)
+    smax = np.zeros(n_strips, np.int64)
+    np.minimum.at(smin, ustrip, uslab)
+    np.maximum.at(smax, ustrip, uslab)
+    ne = smin < BIG
+    smin[~ne] = 0
+    return smin, smax, ne, int(upair.size)
+
+
+def _pad_mono_items(A: BsrMatrix, ni_max: int) -> BsrMatrix:
+    """Append zero items so the bucket holds exactly ``ni_max`` items.
+
+    Padding items accumulate a zero panel into the LAST output strip
+    (``first=0`` — the block is already initialized by its real first
+    item) and reuse the last real item's X window, so they cost no extra
+    window DMA. Item order stays sorted by strip."""
+    import dataclasses
+
+    b = A.buckets[0]
+    ni = b.ns
+    if ni == ni_max:
+        return A
+    pad = ni_max - ni
+    last_strip = jnp.full((pad,), int(b.out_strips) - 1, jnp.int32)
+    last_win = jnp.broadcast_to(b.window[-1], (pad,))
+    bucket = dataclasses.replace(
+        b,
+        strip_ids=jnp.concatenate([b.strip_ids, last_strip]),
+        window=jnp.concatenate([b.window, last_win]),
+        start_rel=jnp.concatenate(
+            [b.start_rel, jnp.zeros((pad,), jnp.int32)]
+        ),
+        first=jnp.concatenate([b.first, jnp.zeros((pad,), jnp.int32)]),
+        panels=jnp.concatenate(
+            [b.panels, jnp.zeros((pad,) + b.panels.shape[1:], b.panels.dtype)]
+        ),
+    )
+    return dataclasses.replace(A, buckets=(bucket,))
+
+
+# Accept uniform mono shards while their padded slab footprint stays
+# within this factor of the occupied-tile lower bound (scattered
+# structure blows the span-based mono footprint up — shards then fall
+# back to the tile-bucket layout, exactly like the single-chip decision).
+MONO_SHARD_BYTES_FACTOR = 2.0
+
+
+def build_bsr_mono_uniform(
+    coos, config: Config = DEFAULT, dtype=None
+):
+    """Mono tilings of several SAME-SHAPE matrices sharing one static
+    geometry — the SPMD shard layout for the flagship mono engine.
+
+    `shard_map` needs identical local shapes on every device, so all
+    shards share (W, win_slabs, n_windows, out_strips) and pad their item
+    lists to a common ``ni`` (`_pad_mono_items`). The item width is chosen
+    from the POOLED piece-length distribution; per-shard panel fills then
+    run the normal `_build_mono` device scatter. Returns a list of
+    BsrMatrix (one per input, uniform pytree shapes) or None when the
+    mono footprint loses to tile buckets / exceeds the SMEM item budget
+    (callers fall back to the pre-mono stacked tile-bucket layout).
+
+    TPU-native replacement for the reference's per-thread row blocks
+    (SURVEY.md §3.4) with the round-3 single-launch layout: each shard's
+    product is ONE kernel launch inside `shard_map`.
+    """
+    config = config.resolve()
+    TM, TK = config.tile_m, config.tile_k
+    shape = tuple(coos[0].shape)
+    if any(tuple(c.shape) != shape for c in coos):
+        raise ValueError("mono shard inputs must share one shape")
+    nrow, ncol = shape
+    n_strips = -(-nrow // TM)
+    n_slabs = max(-(-ncol // TK), 1)
+    win_slabs = min(MONO_WIN_SLABS, n_slabs)
+
+    per_shard = []
+    pooled_len = []
+    n_items_tot = 0
+    n_tiles_tot = 0
+    n_empty_tot = 0
+    for c in coos:
+        rows = np.asarray(c.rows)[: c.n_valid].astype(np.int64)
+        cols = np.asarray(c.cols)[: c.n_valid].astype(np.int64)
+        smin, smax, ne, nt = _mono_shard_stats(
+            rows, cols, n_strips, n_slabs, TM, TK
+        )
+        p_strip, p_lo, p_len = _mono_pieces(smin, smax, ne, win_slabs)
+        per_shard.append((rows, cols, p_strip, p_lo, p_len, nt))
+        pooled_len.append(p_len)
+        n_tiles_tot += nt
+        n_empty_tot += int((~ne).sum())
+    pooled = (
+        np.concatenate(pooled_len) if pooled_len else np.zeros(0, np.int64)
+    )
+    W, _ = _mono_width(pooled, win_slabs, n_empty_tot)
+    W = min(W, win_slabs, MONO_W_MAX)
+    out_strips = max(n_strips, _mono_pad_strips(nrow, TM, TK))
+    ni_list = [
+        int(np.sum(-(-p_len // W)))
+        + max(out_strips - np.unique(p_strip).size, 0)
+        for (_, _, p_strip, _, p_len, _) in per_shard
+    ]
+    if max(ni_list, default=0) > MONO_MAX_ITEMS:
+        return None
+    mono_slabs = sum(
+        int(np.sum(-(-p_len // W))) for (_, _, _, _, p_len, _) in per_shard
+    ) * W
+    if mono_slabs > MONO_SHARD_BYTES_FACTOR * max(n_tiles_tot, 1):
+        return None
+
+    mats = []
+    for c, (rows, cols, p_strip, p_lo, p_len, nt) in zip(coos, per_shard):
+        is_bin_in = isinstance(c, BinaryCOO)
+        A = _build_mono(
+            rows, cols, c, is_bin_in, False, dtype, shape,
+            n_strips, n_slabs, TM, TK, W, win_slabs,
+            p_strip, p_lo, p_len, nt,
+        )
+        mats.append(A)
+    ni_max = max(A.buckets[0].ns for A in mats)
+    return [_pad_mono_items(A, ni_max) for A in mats]
 
 
 def _build_panels(

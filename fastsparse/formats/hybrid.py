@@ -80,6 +80,7 @@ def _split_host(mat, tm, tk, threshold):
 
 def dense_tile_fraction(mat, config: Config = DEFAULT, threshold: int = 64) -> float:
     """Fraction of nonzeros in tiles holding >= threshold entries."""
+    config = config.resolve()
     *_, dense_sel = _split_host(mat, config.tile_m, config.tile_k, threshold)
     return float(dense_sel.mean()) if dense_sel.size else 0.0
 
@@ -97,6 +98,8 @@ def build_hybrid(
     product cost from this matrix's tile histogram (`bench.model`); an int
     pins it explicitly.
     """
+    auto_tm = config.tile_m is None
+    config = config.resolve()
     if threshold == "auto":
         from ..bench.model import auto_threshold
 
@@ -131,7 +134,7 @@ def build_hybrid(
 
     is_binary3 = binary and dtype in (None, jnp.float32)
     bsr_cap = BSR_SEG_COLS_BINARY3 if is_binary3 else BSR_SEG_COLS_F32
-    if n_dense and config.tile_m == DEFAULT.tile_m:
+    if n_dense and auto_tm:
         # taller tiles for the dense core when its structure merges
         # vertically (scaffold blocks span many adjacent rows after
         # tilepack regrouping) — same rule as operator()'s BSR path

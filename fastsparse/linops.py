@@ -179,6 +179,7 @@ def tile_occupancy_estimate(coo, config: Config = DEFAULT) -> float:
     """nnz / (occupied tiles × tile area), computed host-side."""
     import numpy as np
 
+    config = config.resolve()
     rows = np.asarray(coo.rows)[: coo.n_valid]
     cols = np.asarray(coo.cols)[: coo.n_valid]
     if rows.size == 0:
@@ -356,7 +357,7 @@ def operator(
                     np.asarray(coo.rows)[: coo.n_valid],
                     np.asarray(coo.cols)[: coo.n_valid],
                     coo.shape,
-                    config.tile_m,
+                    config.resolve().tile_m,
                     config.tile_k,
                 )
                 th, hybrid_cost = auto_threshold_from_counts(cnt)
@@ -370,11 +371,15 @@ def operator(
         else:
             format = "ell"
 
-    auto_tm = config is DEFAULT
+    # tile_m=None (the default) = auto: pick the modeled-best height for
+    # this structure. Keying on the sentinel — NOT on `config is DEFAULT` —
+    # means a field-for-field-equal Config() gets the same fast layouts
+    # (a pinned tile_m=8 measured 6x slower on the banded mono headline).
+    auto_tm = config.tile_m is None
     if format == "bsr" and auto_tm:
         # Taller tiles amortize fixed per-tile overheads when structure
         # merges vertically (banded/blocked: measured 1.3x at tm>=32);
-        # explicit configs are never overridden.
+        # explicit tile_m values are never overridden.
         import dataclasses
 
         import numpy as np
@@ -387,8 +392,9 @@ def operator(
             coo.shape,
             config.tile_k,
         )
-        if tm != config.tile_m:
-            config = dataclasses.replace(config, tile_m=tm)
+        config = dataclasses.replace(config, tile_m=tm)
+    elif auto_tm:
+        config = config.resolve()
 
     fwd = _compile_one(coo, format, config, dtype)
     # Mono layouts get cheaper with taller items (fewer grid steps, same

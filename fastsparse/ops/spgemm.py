@@ -111,6 +111,7 @@ def spgemm_info(A, B, config: Config = DEFAULT) -> dict:
 
 
 def _symbolic(A, B, config: Config):
+    config = config.resolve()
     TM, TK = config.tile_m, config.tile_k
     ra, ca, va, (ma, ka) = _host_coo(A)
     rb, cb, vb, (kb, nb) = _host_coo(B)
@@ -190,6 +191,7 @@ def spgemm(A, B, config: Config = DEFAULT, out_format: str = "coo",
         if out_format != "coo":
             raise ValueError("method='esc' only produces COO output")
         return spgemm_esc(A, B, config)
+    config = config.resolve()
     TM, TK = config.tile_m, config.tile_k
     info, sym = _symbolic(A, B, config)
     a_tiles, b_tiles, ai, bi, uout, out_idx, (ma, ka, nb), n_jslabs = sym
@@ -488,6 +490,7 @@ def spgemm_device(
     contiguous prefix, ``info['nnz']`` exact — no host round-trip over
     the dense tiles (docs/ROADMAP.md item 9, second half).
     """
+    config = config.resolve()
     TM, TK = config.tile_m, config.tile_k
     ra, ca, va, (ma, ka) = _host_coo(A)
     rb, cb, vb, (kb, nb) = _host_coo(B)

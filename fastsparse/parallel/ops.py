@@ -751,14 +751,23 @@ def pnormal_mm(
     if engine == "bsr":
         if Ap.local_bsr is None or Ap.local_bsr_t is None:
             raise ValueError("partition built without build_bsr_shards=True")
-        from ..ops.bsr_ops import bsr_spmm
+        from ..ops.bsr_ops import bsr_spmm, mono_chain
+
+        # mono shard layouts (partition_rows shard_layout='auto'/'mono'):
+        # both passes fuse into one `mono_chain` per shard — two
+        # single-launch kernels with zero pad/trim copies between them,
+        # the same flagship path the single-chip operator runs
+        # (VERDICT r3 #3). The check is static (layout class, py-level).
+        is_mono = Ap.local_bsr.is_mono and Ap.local_bsr_t.is_mono
 
         def body(fwd, bwd, Xs):
             A = _local(fwd)
             At = _local(bwd)
             X_full = jax.lax.all_gather(Xs, axis, tiled=True)
-            tmp = bsr_spmm(A, X_full)
-            part = bsr_spmm(At, tmp)
+            if is_mono:
+                part = mono_chain(A, At, X_full)
+            else:
+                part = bsr_spmm(At, bsr_spmm(A, X_full))
             out = jax.lax.psum_scatter(
                 part, axis, scatter_dimension=0, tiled=True
             )

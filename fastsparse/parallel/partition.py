@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT, Config
-from ..formats.bsr import BsrBucket, BsrMatrix, build_bsr
+from ..formats.bsr import (
+    BsrBucket,
+    BsrMatrix,
+    MonoPanelBucket,
+    build_bsr,
+    build_bsr_mono_uniform,
+)
 from ..formats.coo import COO, BinaryCOO
 from ..formats.csr import CSR, BinaryCSR
 from ..utils.pytree import pytree_dataclass, static_field
@@ -188,6 +194,53 @@ def _stack_bsr_shards(shard_mats, config: Config, stack_shape=None) -> BsrMatrix
     )
 
 
+def _stack_mono_shards(
+    shard_mats, stack_shape=None
+) -> BsrMatrix:
+    """Stack uniform-geometry mono shards (`build_bsr_mono_uniform`) into
+    one container with a leading device axis — `parallel.ops` slices it
+    away inside `shard_map` and each shard's product is ONE mono launch."""
+    bs = [A.buckets[0] for A in shard_mats]
+    b0 = bs[0]
+    assert all(
+        (b.width, b.win_slabs, b.n_windows, b.out_strips, b.panels.shape)
+        == (
+            b0.width, b0.win_slabs, b0.n_windows, b0.out_strips,
+            b0.panels.shape,
+        )
+        for b in bs
+    ), "mono shards must share one static geometry"
+
+    def stk(xs):
+        out = jnp.stack(xs)
+        if stack_shape is not None:
+            out = out.reshape(stack_shape + out.shape[1:])
+        return out
+
+    bucket = MonoPanelBucket(
+        strip_ids=stk([b.strip_ids for b in bs]),
+        window=stk([b.window for b in bs]),
+        start_rel=stk([b.start_rel for b in bs]),
+        first=stk([b.first for b in bs]),
+        panels=stk([b.panels for b in bs]),
+        width=b0.width,
+        win_slabs=b0.win_slabs,
+        n_windows=b0.n_windows,
+        out_strips=b0.out_strips,
+    )
+    A0 = shard_mats[0]
+    return BsrMatrix(
+        buckets=(bucket,),
+        shape=A0.shape,
+        nnz=sum(A.nnz for A in shard_mats),
+        n_tiles=sum(A.n_tiles for A in shard_mats),
+        padded_tiles=max(A.padded_tiles for A in shard_mats),
+        tile_m=A0.tile_m,
+        tile_k=A0.tile_k,
+        binary=A0.binary,
+    )
+
+
 def partition_rows(
     mat,
     n_shards: int,
@@ -197,6 +250,7 @@ def partition_rows(
     build_bsr_shards: bool = False,
     build_ell_shards: bool = False,
     reorder: Optional[str] = None,
+    shard_layout: str = "auto",
 ) -> RowPartitioned:
     """Partition ``mat`` (scipy / COO / CSR) into ``n_shards`` row blocks.
 
@@ -304,64 +358,90 @@ def partition_rows(
         # binary inputs (all-unit values): store shard tiles as bf16 —
         # exact for 0/1 and ~2x faster than f32 tiles on the MXU path
         # (Config.binary_tiles; same win as the single-chip default)
+        all_unit = bool(vals.size) and bool((vals == 1).all())
         tile_dtype = (
             jnp.bfloat16
             if dtype is None
             and config.binary_tiles in ("bf16", "int8")
-            and vals.size
-            and bool((vals == 1).all())
+            and all_unit
             else None
         )
-        fwd_shards, bwd_shards = [], []
+        # mono shards carry the single-chip int8 default (1 B/slot panels,
+        # exact through the in-kernel bf16 cast)
+        mono_dtype = (
+            jnp.int8
+            if tile_dtype == jnp.bfloat16 and config.binary_tiles == "int8"
+            else tile_dtype
+        )
+        # auto tile height from the GLOBAL structure so every shard (and
+        # the dual tilings) agrees — same rule as operator()'s BSR path
+        bsr_config = config.resolve()
+        if config.tile_m is None and rows.size:
+            import dataclasses
+
+            from ..bench.model import best_tile_m
+
+            bsr_config = dataclasses.replace(
+                config,
+                tile_m=best_tile_m(rows, cols, shape, config.tile_k),
+            )
+
+        def _mono_or_tiles(coo_list, stack_shape=None):
+            """Uniform mono shards when the footprint gate accepts
+            (VERDICT r3 #3: the flagship single-launch engine must be the
+            one that runs distributed); stacked tile buckets otherwise."""
+            mats = None
+            if shard_layout in ("auto", "mono"):
+                mats = build_bsr_mono_uniform(
+                    coo_list, config=bsr_config, dtype=mono_dtype
+                )
+            if mats is not None:
+                return _stack_mono_shards(mats, stack_shape=stack_shape)
+            if shard_layout == "mono":
+                raise ValueError(
+                    "shard_layout='mono' but the mono footprint gate "
+                    "rejected this structure"
+                )
+            built = [
+                build_bsr(c, config=bsr_config, dtype=tile_dtype, panels=False)
+                for c in coo_list
+            ]
+            return _stack_bsr_shards(
+                built, bsr_config, stack_shape=stack_shape
+            )
+
+        fwd_coos, bwd_coos = [], []
         for p in range(P):
             r, c, v = local_groups[p]
-            shard_coo = COO.from_arrays(
-                r, c, v, (row_block, P * col_block)
+            fwd_coos.append(
+                COO.from_arrays(r, c, v, (row_block, P * col_block))
             )
-            fwd_shards.append(
-                build_bsr(shard_coo, config=config, dtype=tile_dtype, panels=False)
+            bwd_coos.append(
+                COO.from_arrays(c, r, v, (P * col_block, row_block))
             )
-            shard_coo_t = COO.from_arrays(
-                c, r, v, (P * col_block, row_block)
-            )
-            bwd_shards.append(
-                build_bsr(shard_coo_t, config=config, dtype=tile_dtype, panels=False)
-            )
-        local_bsr = _stack_bsr_shards(fwd_shards, config)
-        local_bsr_t = _stack_bsr_shards(bwd_shards, config)
+        local_bsr = _mono_or_tiles(fwd_coos)
+        local_bsr_t = _mono_or_tiles(bwd_coos)
         if build_blocks:
-            blk_mats, blk_mats_t = [], []
+            blk_coos, blk_coos_t = [], []
             for p in range(P):
                 r, c, v = local_groups[p]
                 src = np.clip(c // col_block, 0, P - 1)
                 for q in range(P):
                     sel = src == q
                     cq = c[sel] - q * col_block
-                    blk_mats.append(
-                        build_bsr(
-                            COO.from_arrays(
-                                r[sel], cq, v[sel], (row_block, col_block)
-                            ),
-                            config=config,
-                            dtype=tile_dtype,
-                            panels=False,
+                    blk_coos.append(
+                        COO.from_arrays(
+                            r[sel], cq, v[sel], (row_block, col_block)
                         )
                     )
-                    blk_mats_t.append(
-                        build_bsr(
-                            COO.from_arrays(
-                                cq, r[sel], v[sel], (col_block, row_block)
-                            ),
-                            config=config,
-                            dtype=tile_dtype,
-                            panels=False,
+                    blk_coos_t.append(
+                        COO.from_arrays(
+                            cq, r[sel], v[sel], (col_block, row_block)
                         )
                     )
-            blocks_bsr = _stack_bsr_shards(
-                blk_mats, config, stack_shape=(P, P)
-            )
-            blocks_bsr_t = _stack_bsr_shards(
-                blk_mats_t, config, stack_shape=(P, P)
+            blocks_bsr = _mono_or_tiles(blk_coos, stack_shape=(P, P))
+            blocks_bsr_t = _mono_or_tiles(
+                blk_coos_t, stack_shape=(P, P)
             )
 
     local_ell = None

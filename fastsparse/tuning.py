@@ -198,12 +198,16 @@ def tuned_config(
         if _alloc(default_w) < _alloc(ell_widths):
             ell_widths = tuple(default_w)
 
+    # resolved view for the strip histogram only — the returned config
+    # keeps the caller's tile_m (incl. the None auto sentinel, which
+    # operator() resolves after tuning)
+    tm = config.resolve().tile_m
     n_slabs = max(-(-shape[1] // config.tile_k), 1)
-    pair = (rows // config.tile_m) * n_slabs + cols // config.tile_k
+    pair = (rows // tm) * n_slabs + cols // config.tile_k
     upair = np.unique(pair)
     strip_counts = np.bincount(
         (upair // n_slabs).astype(np.int64),
-        minlength=-(-shape[0] // config.tile_m),
+        minlength=-(-shape[0] // tm),
     )
     bsr_tiles = optimal_buckets(strip_counts, max_buckets=max_bsr_buckets)
 

@@ -7,11 +7,21 @@ On a real v5e pod slice run under `jax.distributed`:
 Locally it exercises the same code on the CPU fake mesh:
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python scripts/pod_scaling.py --fake
+        python scripts/pod_scaling.py --fake --schedule both --bench-md
 
 Weak scaling: nnz per shard held constant; reports nnz/s at each device
 count and efficiency vs the single-device rate (target >= 75% —
 BASELINE.json:5,11).
+
+Every row additionally carries the COMM-BYTE MODEL: bytes each device
+receives per product (all-gather: the (P-1)/P missing X rows; ring: P-1
+`ppermute` hops of one X block — identical totals, different overlap
+structure) next to the bytes its local compute must move (shard A + X +
+Y). On a real v5e pod the ICI budget is ~45 GB/s/link/direction against
+~820 GB/s HBM, so comm/compute byte ratios well below ~18x the link
+count keep the exchange hidden under compute — the model says WHERE the
+75% target binds; fake-CPU timings say only that the schedules scale
+(collectives are memcpys there — an honest caveat carried in-row).
 """
 import argparse
 import json
@@ -27,7 +37,9 @@ def main():
     ap.add_argument("--rows-per-shard", type=int, default=16_384)
     ap.add_argument("--n-rhs", type=int, default=64)
     ap.add_argument("--schedule", default="allgather",
-                    choices=["allgather", "ring"])
+                    choices=["allgather", "ring", "both"])
+    ap.add_argument("--bench-md", action="store_true",
+                    help="append the scaling table to BENCH.md")
     args = ap.parse_args()
 
     if args.fake:
@@ -38,8 +50,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    import fastsparse as fs
+    import fastsparse as fs  # noqa: F401
     from fastsparse.bench.matrices import powerlaw
+    from fastsparse.bench.metrics import tree_nbytes
     from fastsparse.bench.timing import time_fn
     from fastsparse.parallel import (
         make_row_mesh,
@@ -52,38 +65,105 @@ def main():
     enable_persistent_cache()
     n_dev = jax.device_count()
     rng = np.random.default_rng(0)
+    schedules = (
+        ["allgather", "ring"] if args.schedule == "both" else [args.schedule]
+    )
     results = []
-    base_rate = None
     counts = [1] + [n for n in (2, 4, 8, 16, 32) if n <= n_dev]
-    for P in counts:
-        nrow = args.rows_per_shard * P
-        m = powerlaw(
-            nrow, nrow, args.nnz_per_shard * P, seed=P, binary=True
-        )
-        mesh = make_row_mesh(P)
-        Ap = shard_partitioned(partition_rows(m, P), mesh)
-        X = jnp.asarray(
-            rng.standard_normal((nrow, args.n_rhs)), jnp.float32
-        )
-        f = jax.jit(
-            lambda Ap, X: pspmm(Ap, X, mesh, schedule=args.schedule)
-        )
-        dt = time_fn(f, Ap, X, reps=5)
-        rate = m.nnz / dt
-        if base_rate is None:
-            base_rate = rate
-        eff = rate / (base_rate * P)
-        row = {
-            "devices": P,
-            "nnz": int(m.nnz),
-            "ms": round(dt * 1e3, 2),
-            "nnz_per_s": round(rate, 1),
-            "weak_scaling_eff": round(eff, 4),
-            "schedule": args.schedule,
-            "backend": jax.default_backend(),
-        }
-        results.append(row)
-        print(json.dumps(row), flush=True)
+    for schedule in schedules:
+        base_rate = None
+        for P in counts:
+            nrow = args.rows_per_shard * P
+            m = powerlaw(
+                nrow, nrow, args.nnz_per_shard * P, seed=P, binary=True
+            )
+            mesh = make_row_mesh(P)
+            Ap = shard_partitioned(partition_rows(m, P), mesh)
+            X = jnp.asarray(
+                rng.standard_normal((nrow, args.n_rhs)), jnp.float32
+            )
+            f = jax.jit(
+                lambda Ap, X, s=schedule: pspmm(Ap, X, mesh, schedule=s)
+            )
+            dt = time_fn(f, Ap, X, reps=5)
+            rate = m.nnz / dt
+            if base_rate is None:
+                base_rate = rate
+                base_dt = dt
+            eff = rate / (base_rate * P)
+            # fake-mesh reality check: P virtual devices share ONE host's
+            # cores, so the ideal weak-scaled wall is P x the 1-device
+            # wall — host_norm_eff isolates schedule/code overhead from
+            # core contention (the real-pod run has no such factor).
+            host_eff = (P * base_dt) / dt
+            # comm-byte model (per device, per product): the dense
+            # operand is the only traffic (row ownership — SURVEY §3.4).
+            xrow_bytes = args.n_rhs * 4
+            comm = (P - 1) * args.rows_per_shard * xrow_bytes  # recv bytes
+            a_bytes = tree_nbytes(Ap.local) // max(P, 1)
+            compute = (
+                a_bytes
+                + nrow * xrow_bytes  # gathered X read by local tiles
+                + args.rows_per_shard * xrow_bytes  # local Y written
+            )
+            row = {
+                "devices": P,
+                "nnz": int(m.nnz),
+                "ms": round(dt * 1e3, 2),
+                "nnz_per_s": round(rate, 1),
+                "weak_scaling_eff": round(eff, 4),
+                "host_norm_eff": round(host_eff, 4),
+                "schedule": schedule,
+                "comm_MB_per_dev": round(comm / 1e6, 2),
+                "compute_MB_per_dev": round(compute / 1e6, 2),
+                "comm_over_compute": round(comm / max(compute, 1), 4),
+                "backend": jax.default_backend(),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    if args.bench_md:
+        import datetime
+
+        stamp = datetime.datetime.now().isoformat(timespec="seconds")
+        backend = results[0]["backend"] if results else "?"
+        with open("BENCH.md", "a") as f:
+            f.write(
+                f"\n## weak scaling ({backend}"
+                f"{' fake mesh' if args.fake else ''}) {stamp}\n\n"
+            )
+            f.write(
+                "Weak scaling, nnz/shard "
+                f"{args.nnz_per_shard} (powerlaw, N={args.n_rhs}). "
+            )
+            if args.fake:
+                f.write(
+                    "CAVEAT: CPU fake-device mesh — collectives are "
+                    "intra-process memcpys AND all P virtual devices "
+                    "share one host's cores (weak-scaled work grows Px "
+                    "on fixed silicon), so raw `eff` is bounded by ~1/P "
+                    "— `host-norm eff` (ideal = Px the 1-device wall) "
+                    "is the fake-mesh schedule-overhead read, NOT ICI. "
+                    "The comm-byte model "
+                    "is hardware-independent: per-device exchange bytes "
+                    "vs local compute bytes locate where the >=75% pod "
+                    "target binds (BASELINE.json:11).\n\n"
+                )
+            else:
+                f.write("\n\n")
+            f.write(
+                "| schedule | devices | ms | nnz/s | eff | host-norm eff |"
+                " comm MB/dev | compute MB/dev | comm/compute |\n"
+                "|---|---|---|---|---|---|---|---|---|\n"
+            )
+            for r in results:
+                f.write(
+                    f"| {r['schedule']} | {r['devices']} | {r['ms']} | "
+                    f"{r['nnz_per_s']:.3g} | {r['weak_scaling_eff']} | "
+                    f"{r['host_norm_eff']} | "
+                    f"{r['comm_MB_per_dev']} | {r['compute_MB_per_dev']} | "
+                    f"{r['comm_over_compute']} |\n"
+                )
 
 
 if __name__ == "__main__":

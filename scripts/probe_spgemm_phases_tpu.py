@@ -46,7 +46,7 @@ def main():
          f"(pairs={info2['n_pairs']}, out_tiles={info2['n_out_tiles']})")
 
     TM = TK = None
-    TM, TK = sg.DEFAULT.tile_m, sg.DEFAULT.tile_k
+    TM, TK = sg.DEFAULT.resolve().tile_m, sg.DEFAULT.tile_k
     nt_out = max(int(uout.size), 1)
     C_tiles = jnp.zeros((nt_out + 1, TM, TK), jnp.float32)
     n_pairs = info2["n_pairs"]

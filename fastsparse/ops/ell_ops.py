@@ -54,8 +54,13 @@ def gather_engine_supported(dtype) -> bool:
 
 
 def gather_engine_fits(ncol: int, n_rhs: int, itemsize: int = 4) -> bool:
-    """Does the X panel stay VMEM-resident at this width?"""
+    """Does the X panel stay VMEM-resident at this width?
+
+    Wide RHS runs as per-128-column chunked calls (`ell_spmm`), so only
+    one LANES-wide panel must fit — N=256 on a 20k-col matrix previously
+    failed this check and fell to the ~14x-slower XLA scan engine."""
     nb = min(_round_up(max(n_rhs, 1), LANES), 512)
+    nb = min(nb, LANES)
     return _round_up(max(ncol, 8), 8) * nb * itemsize <= X_VMEM_BUDGET
 
 
@@ -368,15 +373,34 @@ def ell_spmm(A, X, *, n_block: int | None = None) -> jax.Array:
     X = jnp.asarray(X)
     nrow, ncol = A.shape
     N = X.shape[1]
-    if n_block is None:
-        n_block = min(_round_up(N, LANES), 512)
-    Npad = _round_up(N, n_block)
-
     segs = (
         list(zip(A.col_offsets, A.segments))
         if isinstance(A, SegmentedEll)
         else [(0, A)]
     )
+    if n_block is None:
+        n_block = min(_round_up(N, LANES), 512)
+        # the (rows, n_block) X panel must stay VMEM-resident: segments
+        # were sized for n_block=128, so wide RHS (N=256, BASELINE's
+        # range top) must sweep extra j panels instead of widening the
+        # resident block past the budget (a 24k-col segment at nb=256 is
+        # 24.6 MB — over the 16 MB scoped-vmem wall)
+        max_rows = max(
+            _round_up(max(s.shape[1] + 1, 8), 8) for _, s in segs
+        )
+        while n_block > LANES and max_rows * n_block * 4 > X_VMEM_BUDGET:
+            n_block //= 2
+    if N > n_block:
+        # RHS wider than one resident panel: run per-column-chunk CALLS,
+        # not a multi-j kernel sweep — the nj>1 path's plan assembly
+        # (row gathers at >128 lanes) measured 14x slower (ecfp N=256:
+        # 50.5 ms vs 2 x 3.5 at N=128; probed 2026-08-21)
+        outs = [
+            ell_spmm(A, X[:, j : j + n_block], n_block=n_block)
+            for j in range(0, N, n_block)
+        ]
+        return jnp.concatenate(outs, axis=1)
+    Npad = _round_up(N, n_block)
     rids, parts = [], []
     for off, seg in segs:
         seg_ncol = seg.shape[1]

@@ -106,7 +106,21 @@ def tpu_configs():
         from fastsparse.formats.hybrid import HybridMatrix
         from fastsparse.bench.model import GATHER_FLOOR_S
 
-        if isinstance(op.fwd, (EllMatrix, SegmentedEll, HybridMatrix)):
+        if isinstance(op.fwd, HybridMatrix):
+            # the gather floor applies to the SPARSE part only — the
+            # dense tiles run the MXU path (ecfp read engine_frac 1.57
+            # against an all-gather floor before this split)
+            sp = op.fwd.sparse
+            sp_nnz = (
+                sum(s.nnz for s in getattr(sp, "segments", [sp]))
+                if sp is not None
+                else 0
+            )
+            floor = GATHER_FLOOR_S * sp_nnz
+            out["engine_floor_ms"] = round(floor * 1e3, 3)
+            out["engine_frac"] = round(floor / dt, 4)
+            out["gather_nnz"] = int(sp_nnz)
+        elif isinstance(op.fwd, (EllMatrix, SegmentedEll)):
             floor = GATHER_FLOOR_S * nnz
             out["engine_floor_ms"] = round(floor * 1e3, 3)
             out["engine_frac"] = round(floor / dt, 4)

@@ -227,3 +227,21 @@ def test_smem_blocked_bucket_path(monkeypatch):
         sc = np.abs(m @ X).max() + 1e-30
         assert np.abs(Y - m @ X).max() / sc < 2e-6
         np.testing.assert_array_equal(Y, ref)
+
+
+def test_gather_wide_rhs_chunks():
+    """N past one resident panel runs per-128-column chunked calls (the
+    nj>1 kernel sweep's plan assembly measured 14x slower at N=256, and
+    `gather_engine_fits` previously kicked wide N to the XLA scan)."""
+    import fastsparse as fs
+    from fastsparse.ops.ell_ops import gather_engine_fits
+
+    m = C.powerlaw_csr(600, 500, 9000, seed=9, dtype=np.float32)
+    op = fs.operator(m, format="ell", transpose=False)
+    X = np.random.default_rng(3).standard_normal((500, 256)).astype(np.float32)
+    Y = np.asarray(op.matmat(X))
+    ref = m @ X.astype(np.float64)
+    rel = np.abs(Y - ref).max() / np.abs(ref).max()
+    assert rel < 1e-6, rel
+    # a 20k-col matrix at N=256 must stay on the gather engine
+    assert gather_engine_fits(20_000, 256)

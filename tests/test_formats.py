@@ -82,9 +82,12 @@ def test_ell_binary_input():
 def test_ell_bucket_shapes_are_pow2_and_aligned():
     m = random_csr(200, 200, 0.03, 9)
     ell = fs.build_ell(fs.coo_from_scipy(m))
+    allowed = set(fs.DEFAULT.ell_bucket_widths)
     for b in ell.buckets:
-        assert b.width & (b.width - 1) == 0  # power of two
-        assert b.nb % 8 == 0  # sublane aligned
+        # widths come from the config ladder (denser than pow2 since
+        # round 4 — the gather engine is slot-bound, padding is the cost)
+        assert b.width in allowed or b.width >= max(allowed)
+        assert b.nb % 8 == 0  # kernel 8-row group aligned
 
 
 def test_bcoo_interop_roundtrip():

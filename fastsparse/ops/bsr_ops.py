@@ -51,7 +51,7 @@ MONO_PREFOLD_VMEM = int(16.5 * 2**20)
 # X encoding for the fp32-parity mono paths over int8 panels:
 #   "int8" — (default) radix-256 3-plane quantization: per RHS column j,
 #           x ≈ (q0·2^16 + q1·2^8 + q2)·s_j with int8 planes and
-#           s_j = colmax_j/(127·2^16). Element error ≤ colmax_j·2^-24 —
+#           s_j = colmax_j/(127·2^16). Element error ≤ ~colmax_j·1.2e-7 —
 #           the same accuracy class as the bf16 3-plane split (measured
 #           headline rel 1.8e-7 vs 0.9e-7, both ≪ the 1e-6 bar) — but
 #           each plane is ONE s8×s8→s32 MXU pass at 2× the bf16 rate:
@@ -59,7 +59,7 @@ MONO_PREFOLD_VMEM = int(16.5 * 2**20)
 #           The int8 window block is also 2× smaller than the bf16 plane
 #           block, ending the prefold path's 16.10M scoped-vmem
 #           marginality. Caveat: accuracy is absolute per column (tiny
-#           elements in huge columns carry colmax·2^-24 error, not a
+#           elements in huge columns carry ~colmax·1.2e-7 error, not a
 #           relative 2^-24) — set "bf16" for per-element-relative planes.
 #   "bf16" — the round-3 behavior (3 bf16 planes, prefold or in-kernel).
 MONO_X_PLANES = "int8"

@@ -372,3 +372,40 @@ def test_binary_default_is_int8_mono(small_windows):
     assert _rel(np.asarray(op.matvec(x)), m @ x) < 1e-6
     X = np.asarray(rng.standard_normal((3200, 64)), np.float32)
     assert _rel(np.asarray(op.matmat(X)), m @ X) < 1e-6
+
+
+def test_quant3_radix256_error_bound():
+    """The int8 radix-256 X planes reconstruct x to the documented bound
+    (|err| <= colmax/(127*2^16) ~ colmax*1.2e-7 per element: half a
+    quantization step + the f32 normalize-multiply's rounding) and every
+    plane stays in the int8 range — including adversarial columns (huge
+    dynamic range, exact colmax hits, zeros)."""
+    import jax.numpy as jnp
+
+    from fastsparse.ops.bsr_ops import _quant3_carry
+
+    rng = np.random.default_rng(0)
+    cols = [
+        rng.standard_normal(512).astype(np.float32),
+        np.linspace(-1e6, 1e6, 512).astype(np.float32),  # colmax hit
+        np.concatenate([[1e8], rng.standard_normal(511) * 1e-6]).astype(
+            np.float32
+        ),  # huge dynamic range
+        np.zeros(512, np.float32),  # all-zero column
+    ]
+    X = jnp.asarray(np.stack(cols, axis=1))
+    q0, q1, q2, s = _quant3_carry(X)
+    for q in (q0, q1, q2):
+        qn = np.asarray(q)
+        assert qn.min() >= -128 and qn.max() <= 127
+    rec = (
+        np.asarray(q0, np.float64) * 65536.0
+        + np.asarray(q1, np.float64) * 256.0
+        + np.asarray(q2, np.float64)
+    ) * np.asarray(s, np.float64)
+    colmax = np.abs(np.asarray(X, np.float64)).max(axis=0)
+    err = np.abs(rec - np.asarray(X, np.float64))
+    bound = np.maximum(colmax, 1.0) * (1.0 / (127 * 65536)) * 1.05
+    assert (err <= bound[None, :]).all(), (
+        err.max(axis=0) / np.maximum(bound, 1e-300)
+    )

@@ -786,6 +786,16 @@ def _seg_mode(seg, N, x_dtype, precision):
     if nq:
         return LANES, nq
     nb = min(_round_up(N, LANES), 512)
+    # mirror bsr_spmm's default-n_block residency cap exactly, or the
+    # cross-segment plan's Npad prediction drifts and colseg falls back
+    from .pallas.bsr_spmm import RESIDENT_VMEM_BUDGET as _RB
+
+    isz = jnp.dtype(x_dtype).itemsize
+    while (
+        nb > LANES
+        and seg.n_slabs * seg.tile_k * nb * isz > _RB
+    ):
+        nb //= 2
     return _round_up(N, nb), 0
 
 

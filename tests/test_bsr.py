@@ -221,3 +221,19 @@ def test_bf16_valued_tiles_fp32_parity(tile_m):
     got = np.asarray(bsr_spmm(A, X))
     ref = m @ X
     assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+
+
+def test_bsr_wide_rhs_nblock_cap():
+    """N=256 on a wide valued matrix must not widen the resident X panel
+    past the VMEM budget (over it, pick_strategy silently drops to the
+    ~4x-slower streamed kernel — ecfp N=256 measured 52.7 ms vs 4.1)."""
+    import fastsparse as fs
+
+    rng = np.random.default_rng(8)
+    m = C.random_csr(600, 4000, 0.01, seed=8)
+    op = fs.operator(m, format="bsr", transpose=False)
+    X = rng.standard_normal((4000, 256)).astype(np.float32)
+    Y = np.asarray(op.matmat(X))
+    ref = m @ X.astype(np.float64)
+    rel = np.abs(Y - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel

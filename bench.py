@@ -198,7 +198,9 @@ def child() -> None:
     # Format-achievable bound: the bytes the *stored* format actually moves
     # (A arrays once + X + Y), over the measured bandwidth. format_frac < 1
     # = kernel inefficiency; bound/sol = format (padding/dtype) overhead.
-    a_bytes = tree_nbytes(op.fwd)
+    from fastsparse.bench.metrics import active_nbytes
+
+    a_bytes = active_nbytes(op.fwd, n_rhs)
     xy_bytes = (mb.shape[1] + mb.shape[0]) * n_rhs * 4
     bound_s = (a_bytes + xy_bytes) / bw
     try:
@@ -260,7 +262,9 @@ def child() -> None:
         # 2-4x spikes that same-hour interleaved A/Bs prove are artifacts
         # (BENCH.md, narrow-lane section). Distribution stays in `timing`.
         dt1 = busy1_s if busy1_s else ts1["min_ms"] * 1e-3
-        bound1 = (a_bytes + (mb.shape[1] + mb.shape[0]) * 4) / bw
+        # the SpMV product reads the narrow halo layout when present,
+        # not the wide mono panels - bound on the bytes actually moved
+        bound1 = (active_nbytes(op.fwd, 1) + (mb.shape[1] + mb.shape[0]) * 4) / bw
         sol1 = spmm_sol_seconds(*mb.shape, nnz, 1, bw, binary=True)
         detail["spmv"] = {
             "ms": round(dt1 * 1e3, 3),

@@ -34,6 +34,25 @@ def tree_nbytes(tree) -> int:
     )
 
 
+def active_nbytes(A, n_rhs: int = 128) -> int:
+    """Bytes a single ``A @ X`` product actually moves from the stored
+    format — the honest numerator for format-bound models when a matrix
+    carries MORE than one execution layout (a BsrMatrix with the narrow
+    halo engine stores both; each product reads exactly one of them).
+    """
+    import dataclasses as _dc
+
+    if isinstance(A, BsrMatrix):
+        narrow = getattr(A, "narrow", None)
+        if narrow is not None:
+            # the narrow engine serves N<=8 parity products; wide products
+            # read the main layout only
+            if n_rhs <= 8:
+                return tree_nbytes(narrow)
+            return tree_nbytes(_dc.replace(A, narrow=None))
+    return tree_nbytes(A)
+
+
 def format_stats(A) -> Dict[str, Any]:
     nbytes = tree_nbytes(A)
     if isinstance(A, BsrMatrix):

@@ -26,6 +26,8 @@ avoiding any in-kernel shuffle.
 """
 from __future__ import annotations
 
+import dataclasses
+
 from typing import Any, Optional, Tuple
 
 import jax
@@ -182,6 +184,19 @@ class MonoGroupBucket:
     n_windows: int = static_field()
     group: int = static_field()  # G strips per grid step
     out_strips: int = static_field(default=0)  # == ns (chain padding incl)
+    # HALO windows (0 = non-overlapping, stride == win_slabs): window w
+    # covers original slabs [w·win_stride, w·win_stride + win_slabs) —
+    # overlap H = win_slabs - win_stride slabs. The consuming kernel is
+    # fed the *halo'd* X (overlapping slices materialized back-to-back,
+    # `ops.bsr_ops._halo_x`), so its BlockSpec stays plain block indexing.
+    # Overlap sized at build time makes the spill side bucket empty BY
+    # CONSTRUCTION (the round-3 grouped-mono rejection was the spill
+    # launch, not grouping — probe_halo_tpu: SpMV 0.120 vs 0.153 ms).
+    win_stride: int = static_field(default=0)
+
+    @property
+    def stride(self) -> int:
+        return self.win_stride or self.win_slabs
 
     @property
     def ns(self) -> int:
@@ -215,6 +230,14 @@ class BsrMatrix:
     # optional strip-gather Y assembly (ops.assemble.BsrStripPlan):
     # replaces the per-call strip scatter in `bsr_spmm` with one gather
     strip_plan: Any = None
+    # optional NARROW-RHS engine: a zero-spill halo-window grouped layout
+    # (:class:`MonoGroupBucket` with ``win_stride``) that amortizes the
+    # per-item grid-step cost G× for SpMV / N<=8 products, where the
+    # per-item mono kernel is sequencing-bound (0.153 ms vs 0.120 probed).
+    # Built alongside the main mono layout when structure admits zero
+    # spill at a VMEM-fitting halo; N>8 products ignore it (the grouped
+    # kernel measured 0.420 vs 0.176 ms at N=128 — probe_halo_tpu).
+    narrow: Any = None
 
     @property
     def n_strips(self) -> int:
@@ -289,12 +312,14 @@ class BsrMatrix:
                 if isinstance(b, MonoGroupBucket):
                     sids = jnp.arange(b.ns, dtype=jnp.int32)
                     win = b.windows[sids // b.group]
+                    stride = b.stride
                 else:
                     sids = b.strip_ids
                     win = b.window
+                    stride = b.win_slabs
                     if b.strip_map is not None:
                         sids = b.strip_map[sids]
-                start = win * b.win_slabs + b.start_rel  # absolute slabs
+                start = win * stride + b.start_rel  # absolute slabs
                 cols = start[:, None] * TK + jnp.arange(PK)[None, :]
                 outp = outp.at[
                     sids[:, None, None],
@@ -620,6 +645,92 @@ def _build_mono(
 
 MONO_GROUP_MAX = 8  # strips per grid step (halved while VMEM-over-budget)
 MONO_SPILL_MAX = 0.15  # side-bucket nnz fraction above which grouped loses
+HALO_STRIDE = 160  # halo-window stride cap (slabs); win = stride + gspan-1
+HALO_WIN_MAX = 512  # window-slab cap (X block VMEM at narrow lanes)
+
+
+def _build_mono_halo(
+    rows, cols, coo, is_bin_in, binary, dtype, shape,
+    n_strips, n_slabs, TM, TK, smin, smax, ne,
+):
+    """Zero-spill halo-window grouped layout (narrow-RHS engine), or None.
+
+    One uniform-width item per strip, G strips per grid step sharing one
+    X window — but windows OVERLAP (stride < width): with
+    ``win_slabs = stride + gspan_max - 1`` every G-strip group provably
+    fits its window, so there is no spill side bucket at all (the thing
+    that sank the round-3 grouped layout). The kernel consumes a halo'd
+    X (`ops.bsr_ops._halo_x`). Declines when a single strip's span
+    exceeds the mono width cap or the window would bust scoped VMEM.
+    """
+    nrow, ncol = shape
+    if not ne.any():
+        return None
+    W_span = int((smax - smin + 1)[ne].max())
+    W = int(_quantize_widths(np.asarray([W_span]), n_slabs)[0])
+    if W > min(MONO_W_MAX, n_slabs) or W < W_span:
+        return None  # some strip would spill regardless of windows
+    PK = W * TK
+    row_bytes = PK // 8 if binary else PK * (
+        1 if dtype == jnp.int8 else (4 if dtype == jnp.float32 else 2)
+    )
+    BIG = np.int64(1) << 60
+    G = MONO_GROUP_MAX
+    while G >= 1:
+        out_strips = max(n_strips, _mono_pad_strips(nrow, TM, TK))
+        out_strips = -(-out_strips // G) * G
+        ng = out_strips // G
+        smin_f = np.full(out_strips, BIG, np.int64)
+        smax_f = np.zeros(out_strips, np.int64)
+        smin_f[:n_strips][ne] = smin[ne]
+        smax_f[:n_strips][ne] = smax[ne]
+        gmin = smin_f.reshape(ng, G).min(axis=1)
+        gmax = smax_f.reshape(ng, G).max(axis=1)
+        ne_g = gmin < BIG
+        gspan = int((gmax - gmin + 1)[ne_g].max()) if ne_g.any() else 1
+        stride = min(HALO_STRIDE, n_slabs)
+        win_slabs = min(stride + gspan - 1, n_slabs)
+        stride = min(stride, win_slabs)
+        panel_ok = 2 * G * TM * row_bytes <= 4 * 2**20
+        win_ok = win_slabs <= HALO_WIN_MAX
+        if panel_ok and win_ok:
+            break
+        G //= 2
+    else:
+        return None
+    if G < 2:
+        return None  # no grouping left — the per-item mono path is it
+    n_windows = max(-(-max(n_slabs - win_slabs, 0) // stride) + 1, 1)
+    gw = np.where(ne_g, np.minimum(gmin, BIG - 1) // stride, 0)
+    gw = np.minimum(gw, max(n_windows - 1, 0))
+    gw_s = np.repeat(gw, G)
+    start = np.clip(
+        np.where(smin_f < BIG, smin_f, gw_s * stride),
+        gw_s * stride,
+        gw_s * stride + win_slabs - W,
+    )
+    strip = rows // TM
+    slab = cols // TK
+    if ((slab < start[strip]) | (slab >= start[strip] + W)).any():
+        return None  # coverage proof failed (shouldn't happen) — decline
+    vals_dev = (
+        None if binary
+        else _mono_vals(coo, is_bin_in, dtype, rows.shape[0])
+    )
+    panels = _mono_fill(
+        rows, cols, strip, start, out_strips, TM, TK, W, binary, vals_dev
+    )
+    return MonoGroupBucket(
+        windows=jnp.asarray(gw, jnp.int32),
+        start_rel=jnp.asarray(start - gw_s * stride, jnp.int32),
+        panels=panels,
+        width=int(W),
+        win_slabs=int(win_slabs),
+        n_windows=int(n_windows),
+        group=int(G),
+        out_strips=int(out_strips),
+        win_stride=int(stride),
+    )
 
 
 def _build_mono_grouped(
@@ -936,11 +1047,21 @@ def build_bsr(
                 )
             if g is not None:
                 return g
-            return _build_mono(
+            m = _build_mono(
                 rows, cols, coo, is_bin_in, binary, mono_dtype,
                 (nrow, ncol), n_strips, n_slabs, TM, TK, W, win_slabs,
                 p_strip, p_lo, p_len, int(upair.size),
             )
+            # narrow-RHS halo engine rides alongside the main layout
+            # (extra HBM, zero extra bytes per wide product; used by
+            # SpMV/N<=8 dispatch only — ops.bsr_ops._mono_impl)
+            h = _build_mono_halo(
+                rows, cols, coo, is_bin_in, binary, mono_dtype,
+                (nrow, ncol), n_strips, n_slabs, TM, TK, smin, smax, ne,
+            )
+            if h is not None:
+                m = dataclasses.replace(m, narrow=h)
+            return m
         if mono_only:
             return None
         # ties go to panels: equal bytes, ~5x less per-tile fixed overhead

@@ -741,8 +741,71 @@ def _mono_raw(A, X, precision):
     return Y, nq, Npad, scale
 
 
+def _halo_impl(A, b, X, nq, precision):
+    """Narrow-RHS product through the zero-spill halo-window grouped
+    layout (``A.narrow``): G strips per grid step share one VMEM-resident
+    X window, cutting the per-item sequencing cost the per-item mono
+    kernel pays at narrow N (SpMV 0.153 -> 0.120 ms, probe_halo_tpu).
+    The kernel consumes the HALO'D X — overlapping ``win_slabs``-slab
+    window slices (stride ``b.stride``) materialized back-to-back, so the
+    grouped kernel's plain block indexing addresses overlapping windows.
+    """
+    TM, TK = A.tile_m, A.tile_k
+    abs_slabs = (b.n_windows - 1) * b.stride + b.win_slabs
+    K_pad = abs_slabs * TK
+    i8x = MONO_X_PLANES == "int8" and not A.binary and A.dtype == jnp.int8
+    scale = None
+    if i8x:
+        nb = _round_up(3 * nq, 32)
+        Xp, scale = _quant3_narrow(X, K_pad, nq, nb)
+    else:
+        nb = 3 * nq
+        Xp = _pack_narrow_planes(X, K_pad, nq, nb)
+    if b.n_windows > 1:
+        win_rows = b.win_slabs * TK
+        Xp = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    Xp, w * b.stride * TK, w * b.stride * TK + win_rows
+                )
+                for w in range(b.n_windows)
+            ],
+            axis=0,
+        )
+    Y = mono_group_spmm(
+        b.windows,
+        b.start_rel,
+        b.panels,
+        Xp,
+        tile_m=TM,
+        tile_k=TK,
+        width=b.width,
+        win_slabs=b.win_slabs,
+        binary=A.binary,
+        n_block=nb,
+        fold=False,
+        precision=precision,
+        group=b.group,
+        scale=None,
+    )
+    Y = _fold_narrow_q(Y, nq, scale)
+    return Y[: A.shape[0], : X.shape[1]]
+
+
 def _mono_impl(A, X, precision):
     """``Y = A @ X`` in ONE kernel launch (MonoPanelBucket layout)."""
+    b_halo = getattr(A, "narrow", None)
+    if b_halo is not None:
+        N = X.shape[1]
+        nq = _narrow_nq(N)
+        exact_bf16 = A.binary or A.dtype in (jnp.bfloat16, jnp.int8)
+        if (
+            nq
+            and exact_bf16
+            and precision == "highest"
+            and X.dtype == jnp.float32
+        ):
+            return _halo_impl(A, b_halo, X, nq, precision)
     Y, nq, _, scale = _mono_raw(A, X, precision)
     if nq:
         Y = _fold_narrow_q(Y, nq, scale)

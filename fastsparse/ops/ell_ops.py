@@ -18,10 +18,12 @@ from .pallas.ell_spmm import (
     ELL_GROUP,
     SMEM_BLOCK_K_UNIT,
     SMEM_BLOCK_K_VALUED,
+    _FULL_K_MAX as _ELL_FULL_K_MAX,
     ell_bucket_spmm,
     ell_bucket_spmm_dd,
     ell_bucket_spmm_dd_valued,
     ell_bucket_spmm_smem,
+    packed_pair_ok,
 )
 
 __all__ = ["ell_spmm", "ell_spmm_dd", "gather_engine_supported", "gather_engine_fits"]
@@ -65,14 +67,21 @@ def gather_engine_fits(ncol: int, n_rhs: int, itemsize: int = 4) -> bool:
 
 
 def _chunk_ranges(nb: int, K: int, budget: int):
-    """Slot ranges (s0, s1, n_pad) covering a bucket under the SMEM budget
-    (last chunk pads to the shared n_pad so every chunk compiles once)."""
+    """Slot ranges (s0, s1, n_pad) covering a bucket under the SMEM budget.
+
+    The tail chunk gets its own EXACT (8-row-rounded) shape instead of
+    padding to the full chunk: shared-shape tails dispatched 1.344x the
+    raw nnz on powerlaw 65k² against the ladder's 1.131x stored padding —
+    ~0.85M wasted slots ≈ 1 ms at the 1.2 ns/slot kernel floor (traced
+    2026-08-21). Cost: ≤1 extra compiled shape per multi-chunk bucket.
+    """
     nb_max = max(ELL_GROUP, (budget // max(K, 1)) // 8 * 8)
     if nb <= nb_max:
         yield 0, nb, nb
         return
     for s0 in range(0, nb, nb_max):
-        yield s0, min(s0 + nb_max, nb), nb_max
+        s1 = min(s0 + nb_max, nb)
+        yield s0, s1, min(-(-(s1 - s0) // 8) * 8, nb_max)
 
 
 def _seg_layout(seg, budget=None):
@@ -89,12 +98,25 @@ def _seg_layout(seg, budget=None):
         else (_SMEM_IDX_BUDGET_UNIT if unit else _SMEM_IDX_BUDGET_VALUED)
     )
     k_cap = SMEM_BLOCK_K_UNIT if unit else SMEM_BLOCK_K_VALUED
+    # packed-pair buckets (unit, even K past the full-unroll cap, 16-bit
+    # columns) prefetch HALF the int32 words per slot — double their
+    # chunk budget so hypersparse launch counts halve to match
+    # (`pallas.ell_spmm.packed_pair_ok`; the kernel applies the same test)
+    rows_pad = _round_up(max(seg.shape[1] + 1, 8), 8)
     for b in seg.buckets:
         nb, K = b.cols.shape
-        if budget is None and USE_SMEM_PATH and nb * K > b_eff and K <= k_cap:
+        b_bucket = b_eff
+        if (
+            budget is None
+            and unit
+            and K > _ELL_FULL_K_MAX
+            and packed_pair_ok(K, rows_pad)
+        ):
+            b_bucket = 2 * b_eff
+        if budget is None and USE_SMEM_PATH and nb * K > b_bucket and K <= k_cap:
             yield b, "smem", 0, nb, nb
             continue
-        for s0, s1, n_pad in _chunk_ranges(nb, K, b_eff):
+        for s0, s1, n_pad in _chunk_ranges(nb, K, b_bucket):
             yield b, "chunk", s0, s1, n_pad
 
 

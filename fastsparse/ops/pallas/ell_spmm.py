@@ -42,6 +42,24 @@ __all__ = [
 ELL_GROUP = 8  # bucket rows per grid step (>= 8 output sublanes)
 _N_ACC = 4  # independent accumulators per row (breaks VPU add latency chain)
 _KB_MAX = 16  # entries unrolled per grid step per row
+# Whole-row unroll cap: buckets with K <= this run ONE grid step per row
+# group — no zero-init pass, no += read-modify-write on o_ref, no t-grid
+# arithmetic. Measured 1.18-1.32 ns/slot vs the chunked body's 1.52-1.70
+# across three interleaved A/B runs (probe_gather3_tpu, v5e 2026-08-21) —
+# the only variant that won every run.
+_FULL_K_MAX = 64
+# Packed column pairs (two 16-bit columns per int32 SMEM word) for large-K
+# unit buckets: halves both the scalar loads per slot and the SMEM
+# prefetch footprint (=> half the chunk launches on hypersparse rows).
+# Legal when every column (incl. the sentinel) is < 2^16 — the engine is
+# column-segmented at <=24064 cols so this holds for all segmented paths.
+_PACKED_KB_MAX = 32  # packed-pair entries unrolled per grid step
+
+
+def packed_pair_ok(K: int, nx_rows: int) -> bool:
+    """True when a unit bucket of width K against an X panel with
+    ``nx_rows`` rows (sentinel included) may use the packed-pair body."""
+    return K % 2 == 0 and nx_rows <= 65536
 
 
 def _pick_kb(K: int) -> int:
@@ -110,6 +128,61 @@ def _body_unit(K, KB, G, cols_ref, x_ref, o_ref):
             xr = x_ref[pl.ds(c, 1), :]
             a = u % _N_ACC
             accs[a] = xr if accs[a] is None else accs[a] + xr
+        acc = accs[0]
+        for a in accs[1:]:
+            if a is not None:
+                acc = acc + a
+        o_ref[pl.ds(g, 1), :] += acc
+
+
+def _body_full(K, G, unit, cols_ref, *rest):
+    """Whole-row unroll (K <= _FULL_K_MAX): one grid step per row group,
+    direct store — no zero-init pass, no += read on o_ref."""
+    if unit:
+        x_ref, o_ref = rest
+    else:
+        vals_ref, x_ref, o_ref = rest
+    i = pl.program_id(1)
+    for g in range(G):
+        accs = [None] * _N_ACC
+        for u in range(K):
+            k = (i * G + g) * K + u
+            c = cols_ref[k]
+            xr = x_ref[pl.ds(c, 1), :]
+            d = xr if unit else xr * vals_ref[k]
+            a = u % _N_ACC
+            accs[a] = d if accs[a] is None else accs[a] + d
+        acc = accs[0]
+        for a in accs[1:]:
+            if a is not None:
+                acc = acc + a
+        o_ref[pl.ds(g, 1), :] = acc
+
+
+def _body_unit_packed(K2, KB2, G, cols_ref, x_ref, o_ref):
+    """Unit gather over PACKED column pairs (c0 | c1<<16 per int32): half
+    the SMEM scalar loads per slot; unpack is one and + one shift on the
+    scalar core. K2 = K//2 packed entries per row."""
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    for g in range(G):
+        accs = [None] * _N_ACC
+        for u in range(KB2):
+            k = (i * G + g) * K2 + t * KB2 + u
+            p = cols_ref[k]
+            c0 = jax.lax.bitwise_and(p, jnp.int32(0xFFFF))
+            c1 = jax.lax.shift_right_logical(p, jnp.int32(16))
+            xr0 = x_ref[pl.ds(c0, 1), :]
+            xr1 = x_ref[pl.ds(c1, 1), :]
+            a0 = (2 * u) % _N_ACC
+            a1 = (2 * u + 1) % _N_ACC
+            accs[a0] = xr0 if accs[a0] is None else accs[a0] + xr0
+            accs[a1] = xr1 if accs[a1] is None else accs[a1] + xr1
         acc = accs[0]
         for a in accs[1:]:
             if a is not None:
@@ -412,6 +485,76 @@ def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.A
     KB = _pick_kb(K)
 
     n_scalar = 1 if unit else 2
+    if K <= _FULL_K_MAX:
+        # Whole-row unroll: 2-D grid, each (G, NB) output block written
+        # exactly once — measured 1.2-1.3 ns/slot vs the chunked body's
+        # 1.5-1.7 (probe_gather3_tpu, the only variant winning every run).
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_scalar,
+            grid=(nj, nb // G),
+            in_specs=[
+                pl.BlockSpec(
+                    (x.shape[0], NB),
+                    lambda j, i, *_s: (0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (G, NB), lambda j, i, *_s: (i, j), memory_space=pltpu.VMEM
+            ),
+        )
+        call = pl.pallas_call(
+            functools.partial(_body_full, K, G, unit),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb, Npad), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=_interpret(),
+        )
+        with named("ell_gather_full"):
+            if unit:
+                return call(cols.reshape(-1), x)
+            return call(cols.reshape(-1), vals.reshape(-1), x)
+    if unit and packed_pair_ok(K, int(x.shape[0])):
+        # Packed column pairs: half the SMEM loads AND half the prefetch
+        # footprint (the ell_ops chunk budget doubles to match).
+        K2 = K // 2
+        KB2 = next(
+            kb for kb in range(min(_PACKED_KB_MAX, K2), 0, -1)
+            if K2 % kb == 0
+        )
+        c0 = cols[:, 0::2].astype(jnp.int32)
+        c1 = cols[:, 1::2].astype(jnp.int32)
+        packed = jax.lax.bitwise_or(
+            c0, jax.lax.shift_left(c1, jnp.int32(16))
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nj, nb // G, K2 // KB2),
+            in_specs=[
+                pl.BlockSpec(
+                    (x.shape[0], NB),
+                    lambda j, i, t, *_s: (0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (G, NB), lambda j, i, t, *_s: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        call = pl.pallas_call(
+            functools.partial(_body_unit_packed, K2, KB2, G),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb, Npad), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=_interpret(),
+        )
+        with named("ell_gather_packed"):
+            return call(packed.reshape(-1), x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalar,
         grid=(nj, nb // G, K // KB),

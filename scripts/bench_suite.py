@@ -25,7 +25,7 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, ".")
 import fastsparse as fs  # noqa: E402
 from fastsparse.bench.matrices import banded, ecfp_like, powerlaw, rmat  # noqa: E402
-from fastsparse.bench.metrics import tree_nbytes  # noqa: E402
+from fastsparse.bench.metrics import active_nbytes, tree_nbytes  # noqa: E402
 from fastsparse.bench.timing import time_fn  # noqa: E402
 from fastsparse.bench.sol import measure_hbm_bw, spmm_sol_seconds, spmv_sol_seconds  # noqa: E402
 from fastsparse.utils.cache import enable_persistent_cache  # noqa: E402
@@ -91,7 +91,7 @@ def tpu_configs():
         bytes the *stored* format actually moves (A once + X + Y) over
         measured bw — format_frac < 1 is kernel inefficiency, and
         bound/sol is format (padding/dtype) overhead."""
-        a_bytes = tree_nbytes(op.fwd)
+        a_bytes = active_nbytes(op.fwd, n_rhs)
         xy = (nrow + ncol) * n_rhs * 4
         bound = (a_bytes + xy) / bw
         out = {

@@ -226,7 +226,11 @@ def test_smem_blocked_bucket_path(monkeypatch):
             Y = np.asarray(ell_spmm(A, X))
         sc = np.abs(m @ X).max() + 1e-30
         assert np.abs(Y - m @ X).max() / sc < 2e-6
-        np.testing.assert_array_equal(Y, ref)
+        # the SMEM body keeps the chunked KB/NACC summation order; the
+        # round-4 default (whole-row unroll / packed pairs) groups sums
+        # differently, so cross-path agreement is fp32-tolerance, not
+        # bit-exact
+        assert np.abs(Y - ref).max() / sc < 2e-6
 
 
 def test_gather_wide_rhs_chunks():

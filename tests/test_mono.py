@@ -409,3 +409,50 @@ def test_quant3_radix256_error_bound():
     assert (err <= bound[None, :]).all(), (
         err.max(axis=0) / np.maximum(bound, 1e-300)
     )
+
+
+def test_halo_narrow_engine_parity(monkeypatch):
+    """The zero-spill halo narrow engine (BsrMatrix.narrow) matches the
+    oracle for SpMV and N<=8, including multi-window halo'd X; wide N
+    ignores it (the grouped kernel loses at N=128 — probe_halo_tpu)."""
+    import jax.numpy as jnp
+
+    # small stride so test-scale matrices get n_windows > 1
+    monkeypatch.setattr(fbsr, "HALO_STRIDE", 16)
+    rng = np.random.default_rng(5)
+    m = _banded(rng, 4096, 4096, 300, binary=True)
+    op = fs.operator(m, format="bsr", transpose=False)
+    A = op.fwd
+    assert A.is_mono
+    b = A.narrow
+    assert b is not None, "halo layout should build on banded structure"
+    assert b.win_stride and b.win_stride <= b.win_slabs
+    assert b.n_windows > 1  # halo'd X path exercised
+    dense = np.asarray(m.todense())
+    for N in (1, 4, 8, 32):
+        X = rng.standard_normal((4096, N)).astype(np.float32)
+        Y = np.asarray(op.matmat(jnp.asarray(X)))
+        ref = dense @ X.astype(np.float64)
+        rel = np.abs(Y - ref).max() / (np.abs(ref).max() + 1e-30)
+        assert rel < 1e-6, (N, rel)
+    # matvec rides the same engine
+    x = rng.standard_normal(4096).astype(np.float32)
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    refv = dense @ x.astype(np.float64)
+    assert np.abs(y - refv).max() / np.abs(refv).max() < 1e-6
+
+
+def test_halo_declines_scattered():
+    """Structure whose strip spans exceed the mono width cap gets no halo
+    layout (it would spill; the per-item path handles it)."""
+    rng = np.random.default_rng(6)
+    r = rng.integers(0, 2048, 30_000)
+    c = rng.integers(0, 16_384, 30_000)
+    m = sp.coo_matrix(
+        (np.ones(30_000, np.float32), (r, c)), shape=(2048, 16_384)
+    )
+    m.sum_duplicates()
+    m.data[:] = 1.0
+    op = fs.operator(m, format="bsr", transpose=False)
+    if op.fwd is not None and getattr(op.fwd, "is_mono", False):
+        assert op.fwd.narrow is None

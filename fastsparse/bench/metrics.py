@@ -34,20 +34,30 @@ def tree_nbytes(tree) -> int:
     )
 
 
-def active_nbytes(A, n_rhs: int = 128) -> int:
+def active_nbytes(
+    A, n_rhs: int = 128, x_dtype=None, precision: str = "highest"
+) -> int:
     """Bytes a single ``A @ X`` product actually moves from the stored
     format — the honest numerator for format-bound models when a matrix
     carries MORE than one execution layout (a BsrMatrix with the narrow
     halo engine stores both; each product reads exactly one of them).
+    Uses the REAL dispatch predicate (`ops.bsr_ops.halo_nq`) so the
+    metric tracks the engine a product with these parameters actually
+    runs on (ADVICE r4: an ``n_rhs <= 8`` guess here disagreed with the
+    dispatch for N in 9..40 and for non-parity narrow products).
     """
     import dataclasses as _dc
 
+    import jax.numpy as jnp
+
+    if x_dtype is None:
+        x_dtype = jnp.float32
     if isinstance(A, BsrMatrix):
         narrow = getattr(A, "narrow", None)
         if narrow is not None:
-            # the narrow engine serves N<=8 parity products; wide products
-            # read the main layout only
-            if n_rhs <= 8:
+            from ..ops.bsr_ops import halo_nq
+
+            if halo_nq(A, n_rhs, x_dtype, precision):
                 return tree_nbytes(narrow)
             return tree_nbytes(_dc.replace(A, narrow=None))
     return tree_nbytes(A)

@@ -792,20 +792,43 @@ def _halo_impl(A, b, X, nq, precision):
     return Y[: A.shape[0], : X.shape[1]]
 
 
+# Widest narrow-RHS padded width served by the halo grouped engine. The
+# engine is probed/adopted for N<=8 only (probe_halo2_tpu measured N<=8;
+# N=128 lost 2.4x); wider nq would also widen the grouped kernel's X
+# window block (3·nq lanes, traced index map => double-buffered) past the
+# 16 MB scoped-VMEM wall at win_slabs near the HALO_WIN_MAX=512 cap —
+# e.g. nq=24: 2·512·128·72·2 B ≈ 18.9 MB, a compile-time Mosaic failure
+# CPU tests can't see (ADVICE r4 medium). N in 9..40 takes the per-item
+# mono narrow path instead.
+HALO_NQ_MAX = 8
+
+
+def halo_nq(A, N: int, x_dtype=jnp.float32, precision: str = "highest") -> int:
+    """Padded width nq if the narrow halo grouped engine serves this
+    product, else 0 — THE dispatch predicate, shared by `_mono_impl` and
+    `bench.metrics.active_nbytes` so the bytes model tracks the engine
+    actually chosen (ADVICE r4: the two previously disagreed for N in
+    9..40 and for non-parity narrow products)."""
+    if getattr(A, "narrow", None) is None:
+        return 0
+    nq = _narrow_nq(N)
+    if not nq or nq > HALO_NQ_MAX:
+        return 0
+    exact_bf16 = A.binary or A.dtype in (jnp.bfloat16, jnp.int8)
+    if not (
+        exact_bf16
+        and precision == "highest"
+        and jnp.dtype(x_dtype) == jnp.dtype(jnp.float32)
+    ):
+        return 0
+    return nq
+
+
 def _mono_impl(A, X, precision):
     """``Y = A @ X`` in ONE kernel launch (MonoPanelBucket layout)."""
-    b_halo = getattr(A, "narrow", None)
-    if b_halo is not None:
-        N = X.shape[1]
-        nq = _narrow_nq(N)
-        exact_bf16 = A.binary or A.dtype in (jnp.bfloat16, jnp.int8)
-        if (
-            nq
-            and exact_bf16
-            and precision == "highest"
-            and X.dtype == jnp.float32
-        ):
-            return _halo_impl(A, b_halo, X, nq, precision)
+    nq = halo_nq(A, X.shape[1], X.dtype, precision)
+    if nq:
+        return _halo_impl(A, A.narrow, X, nq, precision)
     Y, nq, _, scale = _mono_raw(A, X, precision)
     if nq:
         Y = _fold_narrow_q(Y, nq, scale)

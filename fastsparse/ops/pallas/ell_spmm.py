@@ -58,7 +58,17 @@ _PACKED_KB_MAX = 32  # packed-pair entries unrolled per grid step
 
 def packed_pair_ok(K: int, nx_rows: int) -> bool:
     """True when a unit bucket of width K against an X panel with
-    ``nx_rows`` rows (sentinel included) may use the packed-pair body."""
+    ``nx_rows`` rows (sentinel included) may use the packed-pair body.
+
+    Caller invariant (pinned here — ADVICE r4): every column value,
+    sentinel included, must be a valid row index of the X panel, i.e.
+    ``cols.max() < nx_rows <= 2**16``. The builders guarantee this (cols
+    index the segment's padded X; the unit sentinel is ``ncol`` and
+    ``rows_pad = round_up(ncol+1, 8) == nx_rows``); a column >= nx_rows
+    would be an out-of-bounds X read regardless of packing, so the
+    16-bit pack introduces no NEW failure mode for in-range inputs.
+    ``utils.debug.validate`` checks the col-range invariant host-side.
+    """
     return K % 2 == 0 and nx_rows <= 65536
 
 

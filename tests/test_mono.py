@@ -442,6 +442,43 @@ def test_halo_narrow_engine_parity(monkeypatch):
     assert np.abs(y - refv).max() / np.abs(refv).max() < 1e-6
 
 
+def test_halo_dispatch_gate_and_metrics_agree():
+    """The halo engine serves ONLY the probed nq<=8 range (N<=8): wider
+    narrow widths (N in 9..40) must take the per-item mono path — their
+    grouped X window block can bust the 16 MB scoped-VMEM wall on real
+    TPU (ADVICE r4 medium). `active_nbytes` must report the layout the
+    dispatch actually reads for every width."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from fastsparse.bench.metrics import active_nbytes, tree_nbytes
+    from fastsparse.ops.bsr_ops import halo_nq
+
+    rng = np.random.default_rng(7)
+    m = _banded(rng, 4096, 4096, 300, binary=True)
+    op = fs.operator(m, format="bsr", transpose=False)
+    A = op.fwd
+    assert A.is_mono and A.narrow is not None
+    narrow_bytes = tree_nbytes(A.narrow)
+    main_bytes = tree_nbytes(dc.replace(A, narrow=None))
+    for N in (1, 8):
+        assert halo_nq(A, N) == 8
+        assert active_nbytes(A, N) == narrow_bytes
+    for N in (9, 16, 40, 128):
+        assert halo_nq(A, N) == 0, N
+        assert active_nbytes(A, N) == main_bytes
+    # non-parity products never ride the halo engine
+    assert halo_nq(A, 1, x_dtype=jnp.bfloat16) == 0
+    assert halo_nq(A, 1, precision="default") == 0
+    # N in 9..40 still gets correct results through the per-item path
+    dense = np.asarray(m.todense())
+    X = rng.standard_normal((4096, 16)).astype(np.float32)
+    Y = np.asarray(op.matmat(jnp.asarray(X)))
+    ref = dense @ X.astype(np.float64)
+    assert np.abs(Y - ref).max() / (np.abs(ref).max() + 1e-30) < 1e-6
+
+
 def test_halo_declines_scattered():
     """Structure whose strip spans exceed the mono width cap gets no halo
     layout (it would spill; the per-item path handles it)."""

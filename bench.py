@@ -165,8 +165,16 @@ def child() -> None:
     # time; per-dispatch wall (median/min/samples in `timing`) adds
     # tunnel/host dispatch gaps that vary 0.31-0.81 ms across hours on an
     # unchanged kernel (BENCH.md). Wall is reported; busy is the value.
+    # couple_rows=64: the coupling reduction otherwise re-reads the full
+    # (50k, 128) Y from HBM every iteration (~25.6 MB ≈ 40-50 us of pure
+    # measurement overhead charged to the kernel). The mono product is a
+    # pallas_call — atomic to XLA, a slice cannot elide any of its work —
+    # so a 64-row read still forces the complete product (see
+    # bench/timing.time_scan).
     try:
-        busy_s = time_scan(lambda X: op.matmat(X), X, iters=256)
+        busy_s = time_scan(
+            lambda X: op.matmat(X), X, iters=256, couple_rows=64
+        )
         busy_ms = round(busy_s * 1e3, 3)
     except Exception:  # pragma: no cover - square-shape-only helper
         busy_s, busy_ms = None, None
@@ -252,7 +260,9 @@ def child() -> None:
         # headline. Same plausibility guard: busy must be a real duration
         # and cannot exceed the per-dispatch wall.
         try:
-            busy1_s = time_scan(lambda x: op.matmat(x), x1, iters=512)
+            busy1_s = time_scan(
+                lambda x: op.matmat(x), x1, iters=512, couple_rows=64
+            )
         except Exception:  # pragma: no cover - best-effort detail
             busy1_s = None
         if busy1_s is not None and not (1e-6 < busy1_s <= ts1["min_ms"] * 1e-3):
@@ -294,19 +304,43 @@ def child() -> None:
         errp = float(np.abs(Yp - refp).max() / (np.abs(refp).max() + 1e-30))
         assert errp < 1e-5, f"wrong hypersparse result: rel={errp}"
         dtp = time_fn(stepp, opp, Xp, reps=10)
-        # the gather engine's own floor (measured ns/slot x padded slots):
-        # sol_frac reads as ~0 on hypersparse structure, but the kernel
-        # runs near ITS bound — emit both (VERDICT r2 weak #5)
-        from fastsparse.bench.metrics import tree_nbytes as _tnb
+        # busy: the product mixes Pallas parts with the dense-column XLA
+        # dot (round 5), so coupling stays FULL — a sliced coupling could
+        # elide rows of the XLA dot. At multi-ms row times the ~40 us
+        # full-coupling charge is noise.
+        try:
+            busyp = time_scan(lambda X: opp.matmat(X), Xp, iters=64)
+            if not (1e-5 < busyp <= dtp):
+                busyp = None
+        except Exception:  # pragma: no cover - best-effort detail
+            busyp = None
+        dtp_eff = busyp if busyp else dtp
+        # the gather engine's own floor (measured ns/slot x padded
+        # slots) applies to the SPARSE part only — dense tiles and the
+        # dense-column block run the MXU path (VERDICT r2 weak #5 /
+        # r4 #8)
         from fastsparse.bench.model import GATHER_FLOOR_S
+        from fastsparse.formats.hybrid import HybridMatrix as _HM
 
-        floor_ms = GATHER_FLOOR_S * int(mp.nnz) * 1e3
+        gat_nnz = int(mp.nnz)
+        if isinstance(opp.fwd, _HM):
+            sp = opp.fwd.sparse
+            gat_nnz = (
+                sum(s.nnz for s in getattr(sp, "segments", [sp]))
+                if sp is not None
+                else 0
+            )
+        floor_ms = GATHER_FLOOR_S * gat_nnz * 1e3
         detail["hypersparse_powerlaw"] = {
-            "ms": round(dtp * 1e3, 3),
-            "nnz_per_s": round(mp.nnz / dtp, 1),
+            "ms": round(dtp_eff * 1e3, 3),
+            "wall_ms": round(dtp * 1e3, 3),
+            "busy_ms": None if busyp is None else round(busyp * 1e3, 3),
+            "nnz_per_s": round(mp.nnz / dtp_eff, 1),
             "rel_err": errp,
             "engine_floor_ms": round(floor_ms, 3),
-            "engine_frac": round(floor_ms / (dtp * 1e3), 4),
+            "engine_frac": round(floor_ms / (dtp_eff * 1e3), 4),
+            "gather_nnz": gat_nnz,
+            "format": type(opp.fwd).__name__,
             "matrix": f"65536^2 powerlaw nnz={int(mp.nnz)}",
         }
     except Exception as e:  # pragma: no cover - best-effort detail

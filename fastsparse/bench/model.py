@@ -13,6 +13,7 @@ __all__ = [
     "DENSE_TILE_S",
     "GATHER_SLOT_S",
     "GATHER_PAD",
+    "dense_col_select",
     "modeled_product_seconds",
     "auto_threshold",
 ]
@@ -36,6 +37,39 @@ GATHER_PAD = 1.0
 # ~2.1 ns/raw-nonzero (ecfp 3.2M nnz in 6.8 ms), so 2.0 ns is a safe
 # bound — bench rows print measured/floor as `engine_frac ≤ 1`.
 GATHER_FLOOR_S = 2.0e-9
+
+# Dense-column extraction (round 5): power-law/R-MAT structure puts a
+# large nnz fraction into few high-degree columns; storing those columns
+# as ONE dense (nrow, D) int8 0/1 block turns their slots into MXU
+# matmul cells. Cost per (row, col) CELL of the block at N=128 parity
+# (3 s8 passes + int8 DMA, overlapped) — calibrated on v5e
+# (scripts/probe_densecols_tpu.py). A column of degree d is worth
+# extracting when nrow · DENSE_COL_CELL_S < d · GATHER_SLOT_S.
+DENSE_COL_CELL_S = 5.0e-12
+DENSE_COL_MEM_MAX = 256 * 2**20  # dense block byte budget (int8 cells)
+DENSE_COL_MIN_D = 64  # below this many columns the launch isn't worth it
+# Below this many rows the per-column model constants aren't calibrated
+# (launch overheads dominate) and the other engines handle the matrix
+# fine — extraction targets large hypersparse structure.
+DENSE_COL_MIN_ROWS = 16384
+
+
+def dense_col_select(coldeg, nrow: int):
+    """Column ids worth moving to the dense block (descending degree),
+    or an empty array. ``coldeg``: per-column nonzero counts."""
+    coldeg = np.asarray(coldeg)
+    if nrow < DENSE_COL_MIN_ROWS:
+        return np.zeros(0, np.int64)
+    d_star = max(nrow * DENSE_COL_CELL_S / GATHER_SLOT_S, 8.0)
+    sel = np.nonzero(coldeg >= d_star)[0]
+    if sel.size < DENSE_COL_MIN_D:
+        return np.zeros(0, np.int64)
+    d_max = max(int(DENSE_COL_MEM_MAX // max(nrow, 1)), 0)
+    if sel.size > d_max:
+        order = np.argsort(-coldeg[sel], kind="stable")
+        sel = sel[order[:d_max]]
+    return np.sort(sel.astype(np.int64))
+
 
 # BSR tile cost as a function of tile height (2026-08-17 tile_m sweep,
 # banded 50k bw512 binary N=128: 147/457/1816 ns per tile at tm=8/32/128):

@@ -90,7 +90,13 @@ def time_fn_stats(
     }
 
 
-def time_scan(fn: Callable, x0, iters: int = 512, batches: int = 5) -> float:
+def time_scan(
+    fn: Callable,
+    x0,
+    iters: int = 512,
+    batches: int = 5,
+    couple_rows: int | None = None,
+) -> float:
     """Device-chained per-iteration seconds: ONE dispatch running ``iters``
     data-dependent applications of ``fn`` inside `lax.fori_loop`, one
     fetch. Per-dispatch tunnel latency and inter-launch host gaps are paid
@@ -104,6 +110,17 @@ def time_scan(fn: Callable, x0, iters: int = 512, batches: int = 5) -> float:
     measured 0.000 ms: the product was elided). The single-element
     update is in-place inside the loop body; the perturbation is below
     f32 resolution of any realistic operand.
+
+    ``couple_rows``: rows of ``y`` the coupling reduction reads. The
+    default (None = all) re-reads the FULL output from HBM every
+    iteration — on the 50k×128 headline that charge is ~25.6 MB ≈
+    40-50 µs of pure measurement overhead per product. ONLY pass a
+    small row count when ``fn``'s output is produced by a Pallas kernel
+    (or another opaque custom call): a `pallas_call` executes atomically
+    — XLA cannot push a slice INTO it to elide work — so an 8-row read
+    still forces the complete product while costing ~4 KB. For XLA-dot
+    outputs it MUST stay None (slices get algebraically pushed through
+    dots and the measurement collapses — the 0.009 ms pathology above).
     """
     eps = jnp.asarray(1e-38, jnp.float32)
 
@@ -113,6 +130,8 @@ def time_scan(fn: Callable, x0, iters: int = 512, batches: int = 5) -> float:
         # algebraically pushed through by XLA (y[:1,:1] of x@W became a
         # single dot-product and the "loop" measured 0.009 ms) — sum(y²)
         # cannot, so the full product must execute every iteration
+        if couple_rows is not None:
+            y = y[:couple_rows]
         s = jnp.sum(jnp.square(y.astype(jnp.float32)))
         return x.at[:1, :1].add((eps * s).astype(x.dtype))
 

@@ -74,6 +74,15 @@ class Config:
         1, 2, 3, 4, 6, 8, 12, 16, 20, 24, 32, 40, 48, 64, 80, 96,
         128, 160, 192, 256, 384, 512,
     )
+    # Sub-row splitting width for the f32 gather engine: rows longer than
+    # this split into virtual sub-rows of <= this many slots, each a
+    # separate bucket row sharing the original row id (the Y assembly
+    # sums duplicates). Keeps every bucket on the full-unroll packed
+    # kernel body — measured 0.91 ns/slot vs the chunked body's 1.25
+    # (probe_gather6, v5e 2026-08-21). Applied by the f32 compile paths
+    # only; fp64-class (dd) builds never split (their exactness needs
+    # one bucket row per matrix row per segment). 0 disables.
+    ell_split_rows: int = 64
     bsr_bucket_tiles: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
     rhs_panel: int = 128
     mesh_axis: str = "rows"

@@ -65,6 +65,12 @@ class EllBucket:
     # -1 = unknown (formats built before this field existed): consumers
     # must fall back to inspecting cols/vals.
     n_real: int = static_field(default=-1)
+    # Build-time packed column pairs int32[nb, K/2] (c0 | c1<<16) for
+    # unit buckets with even K and 16-bit columns: the packed gather
+    # kernels previously re-packed cols EVERY product (~0.4 ms of
+    # strided-slice fusions per powerlaw-65k² product, traced
+    # 2026-08-21). None when packing doesn't apply.
+    packed: Any = None
 
     @property
     def nb(self) -> int:
@@ -88,6 +94,12 @@ class EllMatrix:
     nnz: int = static_field()
     padded_nnz: int = static_field()  # sum of nb*K over buckets
     unit_vals: bool = static_field(default=False)
+    # nonzero when rows longer than this were split into multiple bucket
+    # rows sharing a row id (f32 gather-engine layout — the assembly sums
+    # duplicates). The dd (compensated) paths REQUIRE 0: their exactness
+    # depends on one bucket row per matrix row per segment, and an f32
+    # scatter-add merge of split partials would lose the low words.
+    split_rows: int = static_field(default=0)
     # optional gather-plan Y assembly (ops.assemble.AssemblyPlan): replaces
     # the duplicate-index scatter in `ell_spmm` with static gathers
     plan: Any = None
@@ -153,13 +165,22 @@ def _fill_flat(flat_size_arr, slot_of_entry, cols, vals, valid, pad_col):
     return flat_cols, flat_vals
 
 
-def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
+def build_ell(
+    mat, config: Config = DEFAULT, dtype=None, split_rows: int = 0
+) -> EllMatrix:
     """Compile a COO/CSR matrix into :class:`EllMatrix`.
 
     Reference analog: this replaces both ``bcsr_from_sbm`` (conversion) and
     the implicit row loop of ``bcsr_A_mul_B`` (SURVEY.md §2 R5) — the
     irregular structure is regularized at compile time instead of traversed
     at run time.
+
+    ``split_rows > 0`` splits rows longer than that many nonzeros into
+    multiple VIRTUAL bucket rows sharing the original row id (the Y
+    assembly sums duplicates): every bucket width then stays within the
+    gather kernel's full-unroll packed body — 0.91 ns/slot vs the
+    chunked body's 1.25 (probe_gather6_tpu). f32 engine layouts only;
+    dd (compensated) consumers require the unsplit layout.
     """
     if isinstance(mat, (CSR, BinaryCSR)):
         csr = mat
@@ -177,25 +198,48 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
 
     row_ptr = np.asarray(csr.row_ptr)
     counts = np.diff(row_ptr)
+    max_count = int(counts.max()) if nrow else 0
+    split = int(split_rows) if split_rows and max_count > split_rows else 0
+
+    # virtual rows: row r becomes ceil(count/split) sub-rows of <= split
+    # slots each (split=0: identity — one virtual row per row)
+    if split:
+        nsub = np.maximum(-(-counts // split), 1)
+    else:
+        nsub = np.ones(nrow, np.int64)
+    vbase = np.zeros(nrow + 1, np.int64)
+    np.cumsum(nsub, out=vbase[1:])
+    nv = int(vbase[-1])
+    vrow = np.repeat(np.arange(nrow, dtype=np.int64), nsub)
+    subi = np.arange(nv, dtype=np.int64) - vbase[vrow]
+    vcount = counts[vrow] - subi * split
+    if split:
+        vcount = np.minimum(vcount, split)
+    vcount = np.maximum(vcount, 0)  # empty rows stored nowhere
+
     widths_allowed = sorted(set(config.ell_bucket_widths))
-    max_needed = int(counts.max()) if nrow else 1
+    if split:
+        widths_allowed = [w for w in widths_allowed if w <= split]
+        if not widths_allowed or widths_allowed[-1] != split:
+            widths_allowed.append(split)
+    max_needed = int(vcount.max()) if nv else 1
     if max_needed > widths_allowed[-1]:
         widths_allowed.append(_ceil_pow2(max_needed))
 
-    # Host: assign each row to the smallest width that fits.
-    width_of_row = np.empty(nrow, np.int64)
+    # Host: assign each virtual row to the smallest width that fits.
+    width_of_vrow = np.empty(nv, np.int64)
     for w in reversed(widths_allowed):
-        width_of_row[counts <= w] = w
-    width_of_row[counts == 0] = 0  # empty rows stored nowhere
+        width_of_vrow[vcount <= w] = w
+    width_of_vrow[vcount == 0] = 0
 
-    buckets_meta = []  # (width, rows_in_bucket, nb_padded, flat_base)
+    buckets_meta = []  # (width, vrows_in_bucket, nb_padded, flat_base)
     flat_base = 0
-    loc_of_row = np.zeros(nrow, np.int64)  # local slot within its bucket
-    base_of_row = np.zeros(nrow, np.int64)  # flat offset of its bucket
-    widthk_of_row = np.zeros(nrow, np.int64)
+    loc_of_vrow = np.zeros(nv, np.int64)  # local slot within its bucket
+    base_of_vrow = np.zeros(nv, np.int64)  # flat offset of its bucket
+    widthk_of_vrow = np.zeros(nv, np.int64)
     for w in widths_allowed:
-        rows_b = np.nonzero(width_of_row == w)[0]
-        if rows_b.size == 0:
+        vrows_b = np.nonzero(width_of_vrow == w)[0]
+        if vrows_b.size == 0:
             continue
         # nb rounded to the kernel's 8-row group (NOT pow2): the gather
         # engine is slot-bound at ~1.6 ns/padded-slot, and pow2 row
@@ -205,11 +249,11 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
         # (`ell_ops._chunk_ranges`); only small buckets get a
         # matrix-specific compiled shape — a deliberate trade of compile
         # reuse for the dominant slot cost.
-        nb = _round_up8(max(rows_b.size, 8))
-        buckets_meta.append((w, rows_b, nb, flat_base))
-        loc_of_row[rows_b] = np.arange(rows_b.size)
-        base_of_row[rows_b] = flat_base
-        widthk_of_row[rows_b] = w
+        nb = _round_up8(max(vrows_b.size, 8))
+        buckets_meta.append((w, vrows_b, nb, flat_base))
+        loc_of_vrow[vrows_b] = np.arange(vrows_b.size)
+        base_of_vrow[vrows_b] = flat_base
+        widthk_of_vrow[vrows_b] = w
         flat_base += nb * w
     flat_size = max(flat_base + 1, 1)  # +1: dump slot for invalid entries
 
@@ -218,10 +262,19 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
     rows_np = np.asarray(csr.rows)
     k_global = np.arange(nnz_cap, dtype=np.int64)
     slot_k = k_global - row_ptr[rows_np]  # offset within row (row-sorted CSR)
+    if split:
+        # invalid entries can carry garbage slot_k: clip before indexing
+        vr = np.clip(
+            vbase[rows_np] + np.clip(slot_k, 0, None) // split, 0, nv - 1
+        )
+        within = np.clip(slot_k, 0, None) - (vr - vbase[rows_np]) * split
+    else:
+        vr = np.clip(vbase[rows_np], 0, max(nv - 1, 0))
+        within = slot_k
     slot = (
-        base_of_row[rows_np]
-        + loc_of_row[rows_np] * widthk_of_row[rows_np]
-        + slot_k
+        base_of_vrow[vr]
+        + loc_of_vrow[vr] * widthk_of_vrow[vr]
+        + within
     )
     valid_np = k_global < csr.n_valid
     slot = np.where(valid_np, slot, flat_size - 1)
@@ -239,20 +292,29 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
         pad_col,
     )
 
+    from ..ops.pallas.ell_spmm import _pack_pairs, packed_pair_ok
+
+    rows_pad_x = -(-max(ncol + 1, 8) // 8) * 8  # the unit X panel height
     buckets = []
     padded = 0
-    for w, rows_b, nb, base in buckets_meta:
+    for w, vrows_b, nb, base in buckets_meta:
         row_ids = np.zeros(nb, np.int32)
-        row_ids[: rows_b.size] = rows_b
+        row_ids[: vrows_b.size] = vrow[vrows_b]  # ORIGINAL row ids
         cols_b = jax.lax.dynamic_slice(flat_cols, (base,), (nb * w,)).reshape(nb, w)
         vals_b = jax.lax.dynamic_slice(flat_vals, (base,), (nb * w,)).reshape(nb, w)
+        packed_b = (
+            _pack_pairs(cols_b).reshape(nb, w // 2)
+            if is_binary and packed_pair_ok(w, rows_pad_x)
+            else None
+        )
         buckets.append(
             EllBucket(
                 row_ids=jnp.asarray(row_ids),
                 cols=cols_b,
                 vals=vals_b,
                 width=w,
-                n_real=int(rows_b.size),
+                n_real=int(vrows_b.size),
+                packed=packed_b,
             )
         )
         padded += nb * w
@@ -262,11 +324,16 @@ def build_ell(mat, config: Config = DEFAULT, dtype=None) -> EllMatrix:
         nnz=csr.n_valid,
         padded_nnz=padded,
         unit_vals=is_binary,
+        split_rows=split,
     )
 
 
 def build_ell_segmented(
-    mat, config: Config = DEFAULT, seg_cols: int = 16384, dtype=None
+    mat,
+    config: Config = DEFAULT,
+    seg_cols: int = 16384,
+    dtype=None,
+    split_rows: int = 0,
 ) -> SegmentedEll:
     """Compile into column-segmented bucketed ELL (gather-engine format).
 
@@ -310,7 +377,9 @@ def build_ell_segmented(
             seg_coo = COO.from_arrays(
                 rows[sel], cols[sel] - lo, vals[sel], (nrow, hi - lo)
             ).pad_to(cap)
-        segments.append(build_ell(seg_coo, config=config))
+        segments.append(
+            build_ell(seg_coo, config=config, split_rows=split_rows)
+        )
         offsets.append(lo)
     return SegmentedEll(
         segments=tuple(segments),

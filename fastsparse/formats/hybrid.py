@@ -24,12 +24,43 @@ from .coo import BinaryCOO, COO
 from .csr import CSR, BinaryCSR
 from .ell import EllMatrix, SegmentedEll, build_ell, build_ell_segmented
 
-__all__ = ["HybridMatrix", "build_hybrid", "dense_tile_fraction"]
+__all__ = [
+    "DenseCols",
+    "HybridMatrix",
+    "build_hybrid",
+    "dense_tile_fraction",
+]
+
+
+@pytree_dataclass
+class DenseCols:
+    """High-degree columns stored as ONE dense int8 0/1 block.
+
+    Power-law/R-MAT structure concentrates nonzeros in few columns (rmat
+    s18: the top 1024 of 262k columns hold 31% of nnz) whose slots the
+    gather engine pays ~1.3-2 ns each; as a dense ``(nrow, D)`` block
+    they become MXU matmul cells at ~0.1-0.2 ps-per-cell-equivalent
+    rates. Binary matrices only (cells are 0/1). ``col_ids`` are the
+    extracted original columns, ascending.
+    """
+
+    col_ids: jax.Array  # int32[D]
+    block: jax.Array  # int8[nrow, D], 0/1
+    shape: tuple = static_field()  # parent (nrow, ncol)
+    nnz: int = static_field()  # real entries in the block
+
+    def todense(self) -> jax.Array:
+        out = jnp.zeros(self.shape, jnp.float32)
+        return out.at[:, self.col_ids].set(
+            self.block.astype(jnp.float32)
+        )
 
 
 @pytree_dataclass
 class HybridMatrix:
-    """dense (tiled BSR) + sparse (bucketed ELL) split of one matrix."""
+    """dense (tiled BSR) + sparse (bucketed ELL) split of one matrix,
+    plus an optional dense-column block (`DenseCols`) for high-degree
+    columns of binary matrices."""
 
     dense: Optional[BsrMatrix]
     sparse: Optional[Union[EllMatrix, SegmentedEll]]
@@ -37,6 +68,7 @@ class HybridMatrix:
     nnz: int = static_field()
     dense_nnz: int = static_field()
     threshold: int = static_field()
+    dense_cols: Optional[DenseCols] = None
 
     @property
     def dense_fraction(self) -> float:
@@ -46,9 +78,11 @@ class HybridMatrix:
     def dtype(self):
         if self.dense is not None:
             return self.dense.dtype
-        return self.sparse.segments[0].dtype if isinstance(
-            self.sparse, SegmentedEll
-        ) else self.sparse.dtype
+        if self.sparse is not None:
+            return self.sparse.segments[0].dtype if isinstance(
+                self.sparse, SegmentedEll
+            ) else self.sparse.dtype
+        return jnp.float32
 
     def todense(self) -> jax.Array:
         out = jnp.zeros(self.shape, jnp.float32)
@@ -56,6 +90,8 @@ class HybridMatrix:
             out = out + self.dense.todense().astype(jnp.float32)
         if self.sparse is not None:
             out = out + self.sparse.todense().astype(jnp.float32)
+        if self.dense_cols is not None:
+            out = out + self.dense_cols.todense()
         return out
 
 
@@ -85,26 +121,66 @@ def dense_tile_fraction(mat, config: Config = DEFAULT, threshold: int = 64) -> f
     return float(dense_sel.mean()) if dense_sel.size else 0.0
 
 
+def _extract_dense_cols(rows, cols, shape, dense_col):
+    """(keep_mask, DenseCols | None): move high-degree columns' entries
+    into one dense int8 block (`bench.model.dense_col_select`)."""
+    if not dense_col:
+        return None, None
+    from ..bench.model import dense_col_select
+
+    nrow, ncol = shape
+    coldeg = np.bincount(cols, minlength=ncol)
+    sel_cols = dense_col_select(coldeg, nrow)
+    if sel_cols.size == 0:
+        return None, None
+    pos = np.full(ncol, -1, np.int64)
+    pos[sel_cols] = np.arange(sel_cols.size)
+    in_dense = pos[cols] >= 0
+    block = np.zeros((nrow, sel_cols.size), np.int8)
+    block[rows[in_dense], pos[cols[in_dense]]] = 1
+    dc = DenseCols(
+        col_ids=jnp.asarray(sel_cols, jnp.int32),
+        block=jnp.asarray(block),
+        shape=tuple(shape),
+        nnz=int(in_dense.sum()),
+    )
+    return ~in_dense, dc
+
+
 def build_hybrid(
     mat,
     config: Config = DEFAULT,
     threshold="auto",
     seg_cols: int = SEG_COLS,
     dtype=None,
+    dense_col: bool = True,
 ) -> HybridMatrix:
     """Split ``mat`` into dense tiles (MXU) + scattered tail (gather).
 
     ``threshold='auto'`` picks the occupancy cutoff minimizing the modeled
     product cost from this matrix's tile histogram (`bench.model`); an int
-    pins it explicitly.
+    pins it explicitly. ``dense_col`` additionally extracts high-degree
+    columns of BINARY matrices into a `DenseCols` block before the tile
+    split (`bench.model.dense_col_select`).
     """
     auto_tm = config.tile_m is None
     config = config.resolve()
+    if isinstance(mat, (CSR, BinaryCSR)):
+        mat = mat.to_coo()
+    # dense-column extraction FIRST: tile histogram/threshold must reflect
+    # the structure the tile/gather engines will actually run on
+    keep = dc = None
+    if dense_col and isinstance(mat, BinaryCOO):
+        r_all = np.asarray(mat.rows)[: mat.n_valid].astype(np.int64)
+        c_all = np.asarray(mat.cols)[: mat.n_valid].astype(np.int64)
+        keep, dc = _extract_dense_cols(r_all, c_all, mat.shape, dense_col)
+        if dc is not None:
+            mat = BinaryCOO.from_arrays(
+                r_all[keep], c_all[keep], mat.shape
+            )
     if threshold == "auto":
         from ..bench.model import auto_threshold
 
-        if isinstance(mat, (CSR, BinaryCSR)):
-            mat = mat.to_coo()
         threshold = auto_threshold(
             np.asarray(mat.rows)[: mat.n_valid],
             np.asarray(mat.cols)[: mat.n_valid],
@@ -159,20 +235,27 @@ def build_hybrid(
             dense = build_bsr(make_coo(sel), config=config, dtype=dtype)
     if (~sel).sum():
         rest = make_coo(~sel)
+        # hybrid is f32-gather-engine machinery: split long rows so every
+        # bucket rides the full-unroll packed kernel body
+        split = config.ell_split_rows
         if shape[1] > seg_cols:
             sparse = build_ell_segmented(
                 rest,
                 config=config,
                 seg_cols=_balanced_seg_cols(shape[1], seg_cols),
                 dtype=dtype,
+                split_rows=split,
             )
         else:
-            sparse = build_ell(rest, config=config, dtype=dtype)
+            sparse = build_ell(
+                rest, config=config, dtype=dtype, split_rows=split
+            )
     return HybridMatrix(
         dense=dense,
         sparse=sparse,
         shape=tuple(shape),
-        nnz=int(rows.size),
+        nnz=int(rows.size) + (dc.nnz if dc is not None else 0),
         dense_nnz=n_dense,
         threshold=threshold,
+        dense_cols=dc,
     )

@@ -224,17 +224,31 @@ def _compile_one(coo, fmt: str, config: Config, dtype):
             if not all(getattr(s, "is_panel", False) for s in pieces):
                 built = _build(BSR_SEG_COLS_BINARY3)
         return built
+    # Sub-row splitting serves the f32 Pallas gather engine only; the
+    # fp64-class (dd) paths require the unsplit layout for exactness.
+    vdtype = (
+        jnp.float32 if isinstance(coo, (BinaryCOO, BinaryCSR))
+        else coo.vals.dtype
+    )
+    if dtype is not None:
+        vdtype = jnp.dtype(dtype)
+    split = (
+        config.resolve().ell_split_rows
+        if jnp.dtype(vdtype) == jnp.dtype(jnp.float32)
+        else 0
+    )
     if fmt == "ell":
         if coo.shape[1] > SEG_COLS:
             return build_ell_segmented(
-                coo, config=config, seg_cols=seg, dtype=dtype
+                coo, config=config, seg_cols=seg, dtype=dtype,
+                split_rows=split,
             )
-        return build_ell(coo, config=config, dtype=dtype)
+        return build_ell(coo, config=config, dtype=dtype, split_rows=split)
     if fmt == "hybrid":
         return build_hybrid(coo, config=config, seg_cols=SEG_COLS, dtype=dtype)
     if fmt == "ell-seg":
         return build_ell_segmented(
-            coo, config=config, seg_cols=seg, dtype=dtype
+            coo, config=config, seg_cols=seg, dtype=dtype, split_rows=split
         )
     if fmt == "csr":
         from .formats.convert import to_csr
@@ -367,6 +381,19 @@ def operator(
                     and th <= int(cnt.max())
                     and hybrid_cost < 0.9 * all_sparse
                 )
+                # dense-column extraction alone can justify hybrid for
+                # binary power-law structure (high-degree columns move
+                # to one MXU block — bench.model.dense_col_select)
+                if not fmt_is_hybrid and is_binary:
+                    from .bench.model import dense_col_select
+
+                    coldeg = np.bincount(
+                        np.asarray(coo.cols)[: coo.n_valid],
+                        minlength=coo.shape[1],
+                    )
+                    fmt_is_hybrid = (
+                        dense_col_select(coldeg, coo.shape[0]).size > 0
+                    )
                 format = "hybrid" if fmt_is_hybrid else "ell"
         else:
             format = "ell"

@@ -540,15 +540,31 @@ def _quant3_carry(Xp):
     return q0, q1, q2, s
 
 
+# Quantization prep engine: the Pallas kernel pins the single
+# read+write pass (headline prep 0.056 -> ~0.03 ms — the XLA
+# formulation materializes int32/int8 intermediates); False = the
+# round-4 XLA path (A/B + interpret-mode fallback evidence).
+QUANT_PALLAS = True
+
+
 def _quant3_planes(Xp, NB: int, Npad: int):
     """f32 (K, Npad) -> (int8 (K, nj·3·NB) planes, f32 (1, Npad) scale).
 
     Per-NB-block lane layout ``[q0_j | q1_j | q2_j]`` (the i8 analog of
     `_stack_planes`); the mono kernels run one s8 dot per plane and
     combine ``(d0·2^16 + d1·2^8 + d2)·s`` in f32 (d0 < 2^24: exact)."""
-    q0, q1, q2, s = _quant3_carry(Xp)
     K = Xp.shape[0]
     nj = Npad // NB
+    if QUANT_PALLAS and K % 32 == 0:
+        from .pallas.bsr_spmm import colmax_pallas, quant3_planes_pallas
+
+        m8 = colmax_pallas(Xp)  # (8, Npad), rows identical
+        s8 = jnp.where(m8 > 0, m8, 1.0) * (1.0 / (127.0 * 65536.0))
+        return (
+            quant3_planes_pallas(Xp, 1.0 / s8, n_block=NB),
+            s8[:1],
+        )
+    q0, q1, q2, s = _quant3_carry(Xp)
     qs = [q.astype(jnp.int8) for q in (q0, q1, q2)]
     if nj == 1:
         # concat IS the single-block layout — the stack+reshape

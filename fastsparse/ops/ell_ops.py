@@ -18,7 +18,6 @@ from .pallas.ell_spmm import (
     ELL_GROUP,
     SMEM_BLOCK_K_UNIT,
     SMEM_BLOCK_K_VALUED,
-    _FULL_K_MAX as _ELL_FULL_K_MAX,
     ell_bucket_spmm,
     ell_bucket_spmm_dd,
     ell_bucket_spmm_dd_valued,
@@ -98,20 +97,16 @@ def _seg_layout(seg, budget=None):
         else (_SMEM_IDX_BUDGET_UNIT if unit else _SMEM_IDX_BUDGET_VALUED)
     )
     k_cap = SMEM_BLOCK_K_UNIT if unit else SMEM_BLOCK_K_VALUED
-    # packed-pair buckets (unit, even K past the full-unroll cap, 16-bit
-    # columns) prefetch HALF the int32 words per slot — double their
-    # chunk budget so hypersparse launch counts halve to match
-    # (`pallas.ell_spmm.packed_pair_ok`; the kernel applies the same test)
+    # packed-pair buckets (unit, even K, 16-bit columns — full-unroll AND
+    # chunked bodies both pack since round 5) prefetch HALF the int32
+    # words per slot — double their chunk budget so hypersparse launch
+    # counts halve to match (`pallas.ell_spmm.packed_pair_ok`; the kernel
+    # applies the same test)
     rows_pad = _round_up(max(seg.shape[1] + 1, 8), 8)
     for b in seg.buckets:
         nb, K = b.cols.shape
         b_bucket = b_eff
-        if (
-            budget is None
-            and unit
-            and K > _ELL_FULL_K_MAX
-            and packed_pair_ok(K, rows_pad)
-        ):
+        if budget is None and unit and packed_pair_ok(K, rows_pad):
             b_bucket = 2 * b_eff
         if budget is None and USE_SMEM_PATH and nb * K > b_bucket and K <= k_cap:
             yield b, "smem", 0, nb, nb
@@ -122,18 +117,30 @@ def _seg_layout(seg, budget=None):
 
 def _slice_chunk(b, ell, s0, s1, n_pad):
     """Device slice of bucket slots [s0, s1) padded to n_pad rows
-    (padding rows: zero vals / sentinel columns — harmless)."""
+    (padding rows: zero vals / sentinel columns — harmless). Returns
+    ``(row_ids, cols, vals, packed)`` with ``packed`` the matching slice
+    of the build-time packed pairs (or None)."""
     nb, K = b.cols.shape
+    pk = getattr(b, "packed", None)
     if (s0, s1, n_pad) == (0, nb, nb):
-        return b.row_ids, b.cols, b.vals
+        return b.row_ids, b.cols, b.vals, pk
     rid, cc, vv = b.row_ids[s0:s1], b.cols[s0:s1], b.vals[s0:s1]
+    pp = None if pk is None else pk[s0:s1]
     if s1 - s0 < n_pad:
         pad = n_pad - (s1 - s0)
         pad_col = ell.shape[1] if getattr(ell, "unit_vals", False) else 0
         rid = jnp.concatenate([rid, jnp.zeros((pad,), rid.dtype)])
         cc = jnp.concatenate([cc, jnp.full((pad, K), pad_col, cc.dtype)])
         vv = jnp.concatenate([vv, jnp.zeros((pad, K), vv.dtype)])
-    return rid, cc, vv
+        if pp is not None:
+            # packed sentinel pair: both halves the sentinel column
+            pad_p = jnp.int32(
+                np.int32(np.uint32(pad_col) | (np.uint32(pad_col) << 16))
+            )
+            pp = jnp.concatenate(
+                [pp, jnp.full((pad, K // 2), pad_p, pp.dtype)]
+            )
+    return rid, cc, vv, pp
 
 
 def _bucket_chunks(b, ell, budget=None):
@@ -174,9 +181,11 @@ def _seg_parts(ell: EllMatrix, Xseg, n_block: int, rids, parts):
             )
             rids.append(b.row_ids)
             continue
-        row_ids, cols, vals = _slice_chunk(b, ell, s0, s1, n_pad)
+        row_ids, cols, vals, packed = _slice_chunk(b, ell, s0, s1, n_pad)
         parts.append(
-            ell_bucket_spmm(cols, vals, Xseg, n_block=n_block, unit=unit)
+            ell_bucket_spmm(
+                cols, vals, Xseg, n_block=n_block, unit=unit, packed=packed
+            )
         )
         # padding chunk rows add zeros (zero vals / sentinel columns)
         rids.append(row_ids)
@@ -203,14 +212,10 @@ def _dd_add(ah, al, bh, bl):
 _SMEM_IDX_BUDGET_DD = 40 * 1024
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("nrow", "n_block", "budget", "unit", "pad_col"),
-)
 def _dd_segment(
     bucket_arrs, x2j, *, nrow, n_block, budget, unit, pad_col
 ):
-    """One segment's full dd product as ONE jitted dispatch.
+    """One segment's full dd product, traced inline (see `_dd_all`).
 
     ``bucket_arrs``: tuple of ``(row_ids, cols)`` (unit) or
     ``(row_ids, cols, vh, vl)`` (valued) per bucket. Chunk slicing, every
@@ -269,6 +274,37 @@ def _dd_segment(
     return Shi, Slo
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("nrow", "n_cols", "n_block", "budget", "unit",
+                     "pad_cols"),
+)
+def _dd_all(seg_arrs, x2s, *, nrow, n_cols, n_block, budget, unit,
+            pad_cols):
+    """The WHOLE dd product (every segment + the dd merges + the output
+    column trim) as ONE jitted dispatch.
+
+    Round-4 ran one `_dd_segment` dispatch per segment: config 1 (13
+    segments) paid ~13 tunnel dispatch gaps per product plus a full
+    ``(nrow, Npad)`` fetch — the dominant share of its 0.310 s warm
+    time. ``pad_cols``: per-segment unit-sentinel column (static).
+    Returns ``(Yhi[:, :n_cols], Ylo[:, :n_cols])`` — trimmed on DEVICE
+    so the host fetch moves only the real columns (config 1 fetched
+    8x the needed bytes before)."""
+    Yhi = None
+    Ylo = None
+    for arrs, x2j, pad_col in zip(seg_arrs, x2s, pad_cols):
+        Shi, Slo = _dd_segment(
+            arrs, x2j, nrow=nrow, n_block=n_block, budget=budget,
+            unit=unit, pad_col=pad_col,
+        )
+        if Yhi is None:
+            Yhi, Ylo = Shi, Slo
+        else:
+            Yhi, Ylo = _dd_add(Yhi, Ylo, Shi, Slo)
+    return Yhi[:, :n_cols], Ylo[:, :n_cols]
+
+
 def _ell_spmm_dd_valued(A, X):
     """fp64-class ``Y = A @ X`` for VALUED matrices (`DdEll`): values and
     operand both travel as two f32 planes; per-nonzero products run
@@ -296,8 +332,7 @@ def _ell_spmm_dd_valued(A, X):
     lo_segs = (
         list(A.lo.segments) if isinstance(A.lo, SegmentedEll) else [A.lo]
     )
-    Yhi = jnp.zeros((nrow, Npad), jnp.float32)
-    Ylo = jnp.zeros((nrow, Npad), jnp.float32)
+    seg_arrs, x2s = [], []
     for (off, sh), sl in zip(hi_segs, lo_segs):
         seg_ncol = sh.shape[1]
         rows_pad = _round_up(max(seg_ncol + 1, 8), 8)
@@ -307,21 +342,20 @@ def _ell_spmm_dd_valued(A, X):
         x2 = np.zeros((2 * rows_pad, Npad), np.float32)
         x2[:seg_ncol, :N] = xhi
         x2[rows_pad : rows_pad + seg_ncol, :N] = xlo
-        x2j = jnp.asarray(x2)
-        # whole segment (chunk slicing + kernels + ONE batched scatter
-        # pair) as a single jitted dispatch — see `_dd_segment`
-        bucket_arrs = tuple(
-            (bh.row_ids, bh.cols, bh.vals, bl.vals)
-            for bh, bl in zip(sh.buckets, sl.buckets)
+        x2s.append(jnp.asarray(x2))
+        seg_arrs.append(
+            tuple(
+                (bh.row_ids, bh.cols, bh.vals, bl.vals)
+                for bh, bl in zip(sh.buckets, sl.buckets)
+            )
         )
-        Shi, Slo = _dd_segment(
-            bucket_arrs, x2j, nrow=nrow, n_block=n_block,
-            budget=_SMEM_IDX_BUDGET_DD, unit=False, pad_col=0,
-        )
-        Yhi, Ylo = _dd_add(Yhi, Ylo, Shi, Slo)
-    return (
-        np.asarray(Yhi, np.float64) + np.asarray(Ylo, np.float64)
-    )[:, :N]
+    # every segment + merge + trim in ONE dispatch (`_dd_all`)
+    Yhi, Ylo = _dd_all(
+        tuple(seg_arrs), tuple(x2s), nrow=nrow, n_cols=N,
+        n_block=n_block, budget=_SMEM_IDX_BUDGET_DD, unit=False,
+        pad_cols=(0,) * len(seg_arrs),
+    )
+    return np.asarray(Yhi, np.float64) + np.asarray(Ylo, np.float64)
 
 
 def ell_spmm_dd(A, X):
@@ -359,11 +393,20 @@ def ell_spmm_dd(A, X):
         if isinstance(A, SegmentedEll)
         else [(0, A)]
     )
-    Yhi = jnp.zeros((nrow, Npad), jnp.float32)
-    Ylo = jnp.zeros((nrow, Npad), jnp.float32)
+    seg_arrs, x2s, pad_cols = [], [], []
     for off, seg in segs:
         if not getattr(seg, "unit_vals", False):
             raise ValueError("ell_spmm_dd requires a binary (unit) matrix")
+        if getattr(seg, "split_rows", 0):
+            # exactness depends on one bucket row per matrix row per
+            # segment (single-write scatters); split sub-row partials
+            # would merge through a plain f32 scatter-add and lose the
+            # compensated low words (~2^-24 rel, not 1e-13)
+            raise ValueError(
+                "ell_spmm_dd requires an unsplit layout: rebuild with "
+                "build_ell(..., split_rows=0) (the fp64-class compile "
+                "paths do this automatically)"
+            )
         seg_ncol = seg.shape[1]
         rows_pad = _round_up(max(seg_ncol + 1, 8), 8)
         Xs = Xh[off : off + seg_ncol]
@@ -372,19 +415,17 @@ def ell_spmm_dd(A, X):
         x2 = np.zeros((2 * rows_pad, Npad), np.float32)
         x2[:seg_ncol, :N] = hi
         x2[rows_pad : rows_pad + seg_ncol, :N] = lo
-        x2j = jnp.asarray(x2)
-        # whole segment as one jitted dispatch (`_dd_segment`); each real
-        # row appears once per segment, padding rows add 0
-        bucket_arrs = tuple((b.row_ids, b.cols) for b in seg.buckets)
-        Shi, Slo = _dd_segment(
-            bucket_arrs, x2j, nrow=nrow, n_block=n_block,
-            budget=_SMEM_IDX_BUDGET_UNIT, unit=True,
-            pad_col=int(seg.shape[1]),
-        )
-        Yhi, Ylo = _dd_add(Yhi, Ylo, Shi, Slo)
-    return (
-        np.asarray(Yhi, np.float64) + np.asarray(Ylo, np.float64)
-    )[:, :N]
+        x2s.append(jnp.asarray(x2))
+        seg_arrs.append(tuple((b.row_ids, b.cols) for b in seg.buckets))
+        pad_cols.append(int(seg.shape[1]))
+    # every segment + merge + trim in ONE dispatch (`_dd_all`); each real
+    # row appears once per segment, padding rows add 0
+    Yhi, Ylo = _dd_all(
+        tuple(seg_arrs), tuple(x2s), nrow=nrow, n_cols=N,
+        n_block=n_block, budget=_SMEM_IDX_BUDGET_UNIT, unit=True,
+        pad_cols=tuple(pad_cols),
+    )
+    return np.asarray(Yhi, np.float64) + np.asarray(Ylo, np.float64)
 
 
 def ell_spmm(A, X, *, n_block: int | None = None) -> jax.Array:

@@ -550,6 +550,92 @@ def panel_spmm(
 # ---------------------------------------------------------------------------
 
 
+def _colmax_body(x_ref, o_ref):
+    m = jnp.max(jnp.abs(x_ref[:]), axis=0, keepdims=True)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] = jnp.maximum(o_ref[:], jnp.broadcast_to(m, o_ref.shape))
+
+
+@jax.jit
+def colmax_pallas(Xp) -> jax.Array:
+    """Per-column abs-max of f32 (K, Npad): returns f32 (8, Npad) (all
+    rows equal). The XLA column reduction ran at ~147 GB/s on the
+    (51200, 128) headline X (0.036 ms traced; floor ~0.010) — this
+    sequential-accumulate kernel reads X once at DMA rate."""
+    K, Npad = Xp.shape
+    BR = next(b for b in (2048, 1024, 512, 256, 128, 64, 32, 8)
+              if K % b == 0)
+    return pl.pallas_call(
+        _colmax_body,
+        grid=(K // BR,),
+        in_specs=[
+            pl.BlockSpec((BR, Npad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, Npad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Npad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(Xp)
+
+
+def _quant3_body(NB, x_ref, sinv_ref, o_ref):
+    """Radix-256 3-plane int8 quantization, one pass: read an f32 X
+    block, write its [q0|q1|q2] int8 planes. The XLA formulation of the
+    same computation measured 0.056 ms on the (51200, 128) headline X —
+    2x its bandwidth floor (materialized int32/int8 intermediates);
+    this kernel pins the single read+write pass (~0.03 ms)."""
+    X = x_ref[:]
+    i = jnp.round(X * sinv_ref[0:1, :]).astype(jnp.int32)
+    q2 = ((i + 128) & 255) - 128
+    i1 = (i - q2) >> 8
+    q1 = ((i1 + 128) & 255) - 128
+    q0 = (i1 - q1) >> 8
+    o_ref[:, :NB] = q0.astype(jnp.int8)
+    o_ref[:, NB : 2 * NB] = q1.astype(jnp.int8)
+    o_ref[:, 2 * NB :] = q2.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_block",))
+def quant3_planes_pallas(Xp, sinv, *, n_block: int) -> jax.Array:
+    """f32 (K, Npad) + per-column 1/scale f32 (8, Npad) -> int8
+    (K, nj·3·NB) planes in the mono fold="i8" lane layout
+    (``[q0_j | q1_j | q2_j]`` per NB panel). K must be a multiple of 32
+    (int8 sublane tile); callers' K is always a tile_k=128 multiple.
+    Scale semantics match `bsr_ops._quant3_carry` exactly (same round,
+    same radix extraction)."""
+    K, Npad = Xp.shape
+    NB = n_block
+    nj = Npad // NB
+    BR = next(b for b in (1024, 512, 256, 128, 64, 32) if K % b == 0)
+    return pl.pallas_call(
+        functools.partial(_quant3_body, NB),
+        grid=(K // BR, nj),
+        in_specs=[
+            pl.BlockSpec((BR, NB), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, NB), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (BR, 3 * NB), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((K, nj * 3 * NB), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(Xp, sinv)
+
+
 def _i8_dot(a, xs):
     """One s8×s8→s32 MXU pass (2× the bf16 rate on v5e — probed
     313 vs 174 TOPS, probe_exact_out 2026-08-20), widened to f32.

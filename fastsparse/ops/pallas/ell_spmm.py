@@ -169,6 +169,41 @@ def _body_full(K, G, unit, cols_ref, *rest):
         o_ref[pl.ds(g, 1), :] = acc
 
 
+def _body_full_packed(K2, G, cols_ref, x_ref, o_ref):
+    """Whole-row unroll over PACKED column pairs: one grid step per row
+    group, direct store, half the SMEM scalar loads — the fastest body
+    (0.91 ns/slot vs full-unpacked 1.10 and chunked 1.25, probe_gather6
+    v5e 2026-08-21). Requires even K and 16-bit columns."""
+    i = pl.program_id(1)
+    for g in range(G):
+        accs = [None] * _N_ACC
+        for u in range(K2):
+            k = (i * G + g) * K2 + u
+            p = cols_ref[k]
+            c0 = jax.lax.bitwise_and(p, jnp.int32(0xFFFF))
+            c1 = jax.lax.shift_right_logical(p, jnp.int32(16))
+            xr0 = x_ref[pl.ds(c0, 1), :]
+            xr1 = x_ref[pl.ds(c1, 1), :]
+            a0 = (2 * u) % _N_ACC
+            a1 = (2 * u + 1) % _N_ACC
+            accs[a0] = xr0 if accs[a0] is None else accs[a0] + xr0
+            accs[a1] = xr1 if accs[a1] is None else accs[a1] + xr1
+        acc = accs[0]
+        for a in accs[1:]:
+            if a is not None:
+                acc = acc + a
+        o_ref[pl.ds(g, 1), :] = acc
+
+
+def _pack_pairs(cols):
+    """int32[nb, K even] -> packed int32[nb*K/2] (c0 | c1<<16)."""
+    c0 = cols[:, 0::2].astype(jnp.int32)
+    c1 = cols[:, 1::2].astype(jnp.int32)
+    return jax.lax.bitwise_or(
+        c0, jax.lax.shift_left(c1, jnp.int32(16))
+    ).reshape(-1)
+
+
 def _body_unit_packed(K2, KB2, G, cols_ref, x_ref, o_ref):
     """Unit gather over PACKED column pairs (c0 | c1<<16 per int32): half
     the SMEM scalar loads per slot; unpack is one and + one shift on the
@@ -478,12 +513,17 @@ def ell_bucket_spmm_dd(cols, x2, *, n_block: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_block", "unit"))
-def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.Array:
+def ell_bucket_spmm(
+    cols, vals, x, *, n_block: int, unit: bool = False, packed=None
+) -> jax.Array:
     """One ELL bucket's ``Y_b = A_b @ X``.
 
     cols: int32[nb, K]; vals: f32[nb, K] (ignored when ``unit``);
     x: f32[nx_rows, Npad] fully VMEM-resident. In unit mode padding
     columns MUST point at a zero row of x (the builder's sentinel).
+    ``packed``: optional build-time packed pairs int32[nb, K/2]
+    (`formats.ell.EllBucket.packed`) — without it the packed bodies
+    re-pack cols per product (~0.4 ms/product on powerlaw 65k²).
     Returns f32[nb, Npad].
     """
     nb, K = cols.shape
@@ -497,8 +537,10 @@ def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.A
     n_scalar = 1 if unit else 2
     if K <= _FULL_K_MAX:
         # Whole-row unroll: 2-D grid, each (G, NB) output block written
-        # exactly once — measured 1.2-1.3 ns/slot vs the chunked body's
-        # 1.5-1.7 (probe_gather3_tpu, the only variant winning every run).
+        # exactly once. Unit buckets with even K additionally pack two
+        # 16-bit columns per SMEM word — the fastest body at
+        # 0.91 ns/slot (probe_gather6; unpacked full 1.10, chunked 1.25).
+        use_packed = unit and packed_pair_ok(K, int(x.shape[0]))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_scalar,
             grid=(nj, nb // G),
@@ -513,8 +555,13 @@ def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.A
                 (G, NB), lambda j, i, *_s: (i, j), memory_space=pltpu.VMEM
             ),
         )
+        body = (
+            functools.partial(_body_full_packed, K // 2, G)
+            if use_packed
+            else functools.partial(_body_full, K, G, unit)
+        )
         call = pl.pallas_call(
-            functools.partial(_body_full, K, G, unit),
+            body,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb, Npad), x.dtype),
             compiler_params=pltpu.CompilerParams(
@@ -523,6 +570,13 @@ def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.A
             interpret=_interpret(),
         )
         with named("ell_gather_full"):
+            if use_packed:
+                flat = (
+                    packed.reshape(-1)
+                    if packed is not None
+                    else _pack_pairs(cols)
+                )
+                return call(flat, x)
             if unit:
                 return call(cols.reshape(-1), x)
             return call(cols.reshape(-1), vals.reshape(-1), x)
@@ -533,11 +587,6 @@ def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.A
         KB2 = next(
             kb for kb in range(min(_PACKED_KB_MAX, K2), 0, -1)
             if K2 % kb == 0
-        )
-        c0 = cols[:, 0::2].astype(jnp.int32)
-        c1 = cols[:, 1::2].astype(jnp.int32)
-        packed = jax.lax.bitwise_or(
-            c0, jax.lax.shift_left(c1, jnp.int32(16))
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -564,7 +613,7 @@ def ell_bucket_spmm(cols, vals, x, *, n_block: int, unit: bool = False) -> jax.A
             interpret=_interpret(),
         )
         with named("ell_gather_packed"):
-            return call(packed.reshape(-1), x)
+            return call(_pack_pairs(cols), x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalar,
         grid=(nj, nb // G, K // KB),

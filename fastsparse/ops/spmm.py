@@ -54,6 +54,58 @@ def _stream_scatter(rows, cols, vals, X, n_out):
     return acc
 
 
+# fp32-parity dot for the dense-column block: "i8" = radix-256 int8
+# planes (3 s8xs8->s32 passes — 2x the bf16 MXU rate on v5e), "bf16" =
+# 3 bf16 planes (fallback if XLA's s8 dot lowering underperforms).
+DENSECOLS_DOT = "i8"
+
+
+def dense_cols_spmm(dc, X, precision: str = "highest"):
+    """``Y += block @ X[col_ids]`` for a `formats.hybrid.DenseCols`.
+
+    The block is 0/1 int8 (exact in bf16); fp32 parity comes from the
+    same 3-plane X encodings the mono kernel uses (radix-256 int8 planes
+    or bf16 split — `ops.bsr_ops`). Runs as plain XLA dots: a dense
+    (nrow, D) @ (D, N) contraction is exactly what the compiler already
+    tiles optimally onto the MXU.
+    """
+    Xs = X[dc.col_ids]  # (D, N) — D is small; gather cost negligible
+    B = dc.block
+    parity = precision == "highest" and X.dtype == jnp.float32
+    if not parity:
+        return jnp.dot(
+            B.astype(jnp.bfloat16),
+            Xs.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(X.dtype)
+    # ONE dot over the lane-concatenated planes: the block is the big
+    # operand (rmat s18: 259 MB int8) and a per-plane dot would stream
+    # it three times — concatenating [q0|q1|q2] along N reads it once
+    # (the fold afterwards touches only the (nrow, 3N) result).
+    N = Xs.shape[1]
+    if DENSECOLS_DOT == "i8":
+        from .bsr_ops import _quant3_carry
+
+        q0, q1, q2, s = _quant3_carry(Xs)
+        q3 = jnp.concatenate(
+            [q.astype(jnp.int8) for q in (q0, q1, q2)], axis=1
+        )
+        d = jax.lax.dot_general(
+            B, q3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        return (
+            d[:, :N] * 65536.0 + d[:, N : 2 * N] * 256.0 + d[:, 2 * N :]
+        ) * s
+    from .bsr_ops import _split_bf16_planes
+
+    x0, x1, x2 = _split_bf16_planes(Xs)
+    x3 = jnp.concatenate([x0, x1, x2], axis=1)
+    Bb = B.astype(jnp.bfloat16)
+    d = jnp.dot(Bb, x3, preferred_element_type=jnp.float32)
+    return d[:, :N] + d[:, N : 2 * N] + d[:, 2 * N :]
+
+
 def spmm(A, X):
     """``Y = A @ X``. ``X``: dtype[ncol, N] → dtype[nrow, N]."""
     X = jnp.asarray(X)
@@ -68,6 +120,8 @@ def spmm(A, X):
             Y = Y + spmm(A.dense, X)
         if A.sparse is not None:
             Y = Y + spmm(A.sparse, X)
+        if A.dense_cols is not None:
+            Y = Y + dense_cols_spmm(A.dense_cols, X)
         return Y
     if isinstance(A, ColSegmented):
         if A.segments and isinstance(A.segments[0], BsrMatrix):

@@ -51,6 +51,10 @@ def spmv(A, x):
             y = y + spmv(A.dense, x)
         if A.sparse is not None:
             y = y + spmv(A.sparse, x)
+        if A.dense_cols is not None:
+            from .spmm import dense_cols_spmm
+
+            y = y + dense_cols_spmm(A.dense_cols, x[:, None])[:, 0]
         return y
     if isinstance(A, ColSegmented):
         if A.segments and isinstance(A.segments[0], BsrMatrix):

@@ -205,5 +205,24 @@ def validate(A) -> None:
             validate(A.dense)
         if A.sparse is not None:
             validate(A.sparse)
+        dc = getattr(A, "dense_cols", None)
+        if dc is not None:
+            cid = np.asarray(dc.col_ids)
+            _check(
+                cid.min() >= 0 and cid.max() < A.shape[1],
+                "dense-col id out of range",
+            )
+            _check(
+                (np.diff(cid) > 0).all(), "dense-col ids not ascending"
+            )
+            blk = np.asarray(dc.block)
+            _check(
+                blk.shape == (A.shape[0], cid.size),
+                "dense-col block shape",
+            )
+            _check(
+                np.isin(blk, (0, 1)).all(), "dense-col block not 0/1"
+            )
+            _check(int(blk.sum()) == dc.nnz, "dense-col nnz mismatch")
         return
     raise TypeError(f"unsupported format {type(A).__name__}")

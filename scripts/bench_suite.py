@@ -101,11 +101,16 @@ def tpu_configs():
         }
         # gather-engine rows additionally carry the engine's own floor
         # (measured ns/slot): hypersparse sol_frac reads as ~0 while the
-        # kernel runs near ITS bound — emit both (VERDICT r2 weak #5)
+        # kernel runs near ITS bound — emit both (VERDICT r2 weak #5).
+        # N-aware (VERDICT r4 #8): RHS wider than one 128-lane resident
+        # panel runs ceil(N/128) chunked engine passes, each touching
+        # every slot — the floor scales with the chunk count or wide-N
+        # rows falsely read ~2x kernel headroom.
         from fastsparse.formats.ell import EllMatrix, SegmentedEll
         from fastsparse.formats.hybrid import HybridMatrix
         from fastsparse.bench.model import GATHER_FLOOR_S
 
+        n_chunks = max(-(-n_rhs // 128), 1)
         if isinstance(op.fwd, HybridMatrix):
             # the gather floor applies to the SPARSE part only — the
             # dense tiles run the MXU path (ecfp read engine_frac 1.57
@@ -116,15 +121,29 @@ def tpu_configs():
                 if sp is not None
                 else 0
             )
-            floor = GATHER_FLOOR_S * sp_nnz
+            floor = GATHER_FLOOR_S * sp_nnz * n_chunks
             out["engine_floor_ms"] = round(floor * 1e3, 3)
             out["engine_frac"] = round(floor / dt, 4)
             out["gather_nnz"] = int(sp_nnz)
         elif isinstance(op.fwd, (EllMatrix, SegmentedEll)):
-            floor = GATHER_FLOOR_S * nnz
+            floor = GATHER_FLOOR_S * nnz * n_chunks
             out["engine_floor_ms"] = round(floor * 1e3, 3)
             out["engine_frac"] = round(floor / dt, 4)
         return out
+
+    def busy_or(fn2, X2, wall, iters=256):
+        """Device-chained busy time with the bench.py plausibility guard;
+        falls back to the per-dispatch wall when the operand shape can't
+        chain (non-square operators) or a tunnel wedge lands mid-scan."""
+        from fastsparse.bench.timing import time_scan as _tscan
+
+        try:
+            b = _tscan(fn2, X2, iters=iters)
+        except Exception:
+            return wall, None
+        if not (1e-6 < b <= wall):
+            return wall, None
+        return b, b
 
     # BASELINE config 1 ON TPU: fp64-class SpMV at rtol 1e-10 via the
     # compensated double-word gather engine (DdEll: hi/lo f32 planes,
@@ -179,6 +198,36 @@ def tpu_configs():
              **fmt_detail(op, m.nnz, *m.shape, 1, dt)},
         )
 
+    # BASELINE config 2, fp64 flavor (BASELINE.json:8 says "fp32/fp64",
+    # VERDICT r4 missing #3): the same power-law structure with fp64
+    # values through the dd (two-f32-plane) gather engine at rtol 1e-10.
+    if want("2d"):
+        m2d = powerlaw(20_000, 20_000, 1_000_000, seed=0, dtype=np.float64)
+        from fastsparse.formats.ell import build_ell_dd
+        from fastsparse.ops.spmm import spmm_dd
+
+        A2d = build_ell_dd(m2d)
+        x2d = rng.standard_normal((20_000, 1))
+        y2d = spmm_dd(A2d, x2d)[:, 0]
+        ref2d = m2d @ x2d[:, 0]
+        rel2d = float(
+            np.abs(y2d - ref2d).max() / (np.abs(ref2d).max() + 1e-300)
+        )
+        assert rel2d <= 1e-10, f"dd powerlaw spmv rel {rel2d:.2e}"
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            y2d = spmm_dd(A2d, x2d)
+        dt = (time.perf_counter() - t0) / reps
+        record(
+            "2 fp64-class dd SpMV powerlaw 20k^2",
+            "spmv_nnz_per_s",
+            m2d.nnz / dt,
+            "nnz/s",
+            {"ms": round(dt * 1e3, 2), "rel_err": rel2d, "rtol": 1e-10,
+             "engine": "dd-gather (two-f32 value+operand planes)"},
+        )
+
     # BASELINE config 3: binary multi-RHS SpMM, Macau-style matrices
     cases3 = []
     if want("3e"):
@@ -207,7 +256,11 @@ def tpu_configs():
             ref = (mat @ np.asarray(X).astype(np.float64))
             got = np.asarray(f(op, X))
             rel = check(got, ref, bar, f"spmm-{name}")
-            dt = time_fn(f, op, X, reps=10)
+            wall = time_fn(f, op, X, reps=10)
+            # busy protection (VERDICT r4 #8): square matrices chain on
+            # device; rectangular ones (ecfp) fall back to wall with
+            # busy_ms=None recorded so the row is honest about it
+            dt, busy = busy_or(lambda X: op.matmat(X), X, wall, iters=64)
             sol = spmm_sol_seconds(*mat.shape, mat.nnz, n_rhs, bw, binary=binary)
             record(
                 f"3 SpMM {name} N={n_rhs}",
@@ -216,6 +269,8 @@ def tpu_configs():
                 "nnz/s",
                 {
                     "ms": round(dt * 1e3, 3),
+                    "wall_ms": round(wall * 1e3, 3),
+                    "busy_ms": None if busy is None else round(busy * 1e3, 3),
                     "gflops": round(2 * mat.nnz * n_rhs / dt / 1e9, 1),
                     "rel_err": rel,
                     "sol_frac": round(sol / dt, 4),
@@ -232,27 +287,12 @@ def tpu_configs():
         mat.data[:] = 1.0
         op = fs.operator(mat, format="bsr", transpose=False)
         fmt = type(op.fwd).__name__
-        from fastsparse.bench.timing import time_scan as _tscan
-
-        def _busy_or(fn2, X2, wall):
-            """Device-chained busy with the bench.py plausibility guard;
-            falls back to the per-dispatch wall (tunnel-hour-proof rows:
-            the r3 capture recorded a 0.824 ms bad-hour SpMV wall on a
-            0.15 ms kernel — VERDICT r3 #2)."""
-            try:
-                b = _tscan(fn2, X2, iters=512)
-            except Exception:
-                return wall, None
-            if not (1e-6 < b <= wall):
-                return wall, None
-            return b, b
-
         x = jnp.asarray(rng.standard_normal(mat.shape[1]), jnp.float32)
         f1 = jax.jit(lambda op, x: op.matvec(x))
         rel = check(f1(op, x), mat @ np.asarray(x).astype(np.float64),
                     1e-6, "spmv-banded")
         wall = time_fn(f1, op, x, reps=20)
-        dt, busy = _busy_or(lambda X: op.matmat(X), x[:, None], wall)
+        dt, busy = busy_or(lambda X: op.matmat(X), x[:, None], wall, iters=512)
         sol = spmv_sol_seconds(*mat.shape, mat.nnz, bw, binary=True)
         record(
             "3 SpMV banded 50k bw512", "spmv_nnz_per_s", mat.nnz / dt,
@@ -271,7 +311,7 @@ def tpu_configs():
                         mat @ np.asarray(X).astype(np.float64),
                         1e-6, f"spmm-narrow-{n_rhs}")
             wall = time_fn(f, op, X, reps=20)
-            dt, busy = _busy_or(lambda X: op.matmat(X), X, wall)
+            dt, busy = busy_or(lambda X: op.matmat(X), X, wall, iters=512)
             sol = spmm_sol_seconds(*mat.shape, mat.nnz, n_rhs, bw, binary=True)
             record(
                 f"3 SpMM banded 50k narrow N={n_rhs}", "spmm_nnz_per_s",

@@ -249,3 +249,90 @@ def test_gather_wide_rhs_chunks():
     assert rel < 1e-6, rel
     # a 20k-col matrix at N=256 must stay on the gather engine
     assert gather_engine_fits(20_000, 256)
+
+
+def test_split_rows_layout_and_parity():
+    """Sub-row splitting (round 5): rows longer than split_rows become
+    multiple bucket rows sharing a row id; every bucket width stays
+    <= split_rows; products (plan assembly sums duplicates) and todense
+    match the oracle; binary padding still points at the sentinel."""
+    import fastsparse as fs
+    from fastsparse.ops import assemble
+
+    rng = np.random.default_rng(50)
+    # heavy-tailed rows: several rows far beyond the split width
+    rows = np.concatenate([
+        np.repeat(np.arange(8), 200),          # 8 rows of 200 nnz
+        rng.integers(0, 300, 4000),
+    ])
+    cols = rng.integers(0, 280, rows.size)
+    m = sp.coo_matrix(
+        (np.ones(rows.size, np.float32), (rows, cols)), shape=(300, 280)
+    )
+    m.sum_duplicates()
+    m.data[:] = 1.0
+    m = m.tocsr()
+    for binary in (True, False):
+        if binary:
+            coo = fs.binary_coo_from_scipy(m.tocoo())
+        else:
+            coo = fs.coo_from_scipy(m.tocoo(), dtype=np.float32)
+        A = build_ell(coo, split_rows=64)
+        assert A.split_rows == 64
+        assert all(b.width <= 64 for b in A.buckets)
+        # duplicates present: more real bucket rows than matrix rows w/ nnz
+        n_real = sum(b.n_real for b in A.buckets)
+        assert n_real > len(np.unique(m.tocoo().row))
+        np.testing.assert_allclose(
+            np.asarray(A.todense()), m.toarray(), rtol=1e-6, atol=1e-6
+        )
+        A = assemble.attach_plan(A)
+        X = rng.standard_normal((280, 16)).astype(np.float32)
+        Y = np.asarray(ell_spmm(A, X))
+        ref = m @ X
+        atol = 1e-5 * max(float(np.abs(ref).max()), 1.0)
+        np.testing.assert_allclose(Y, ref, rtol=2e-5, atol=atol)
+    # segmented + split
+    S = build_ell_segmented(
+        fs.binary_coo_from_scipy(m.tocoo()), seg_cols=128, split_rows=64
+    )
+    S = assemble.attach_plan(S)
+    X = rng.standard_normal((280, 8)).astype(np.float32)
+    Y = np.asarray(ell_spmm(S, X))
+    ref = m @ X
+    np.testing.assert_allclose(
+        Y, ref, rtol=2e-5, atol=1e-5 * float(np.abs(ref).max())
+    )
+
+
+def test_split_rows_identity_when_unneeded():
+    """Matrices with no row beyond the width record split_rows == 0 (the
+    dd paths then accept them unchanged)."""
+    m = C.random_csr(64, 80, 0.05, seed=51, binary=True)
+    import fastsparse as fs
+
+    A = build_ell(fs.binary_coo_from_scipy(m), split_rows=64)
+    assert A.split_rows == 0
+
+
+def test_dd_rejects_split_layout():
+    """fp64-class products must refuse split layouts (an f32 scatter-add
+    merge of sub-row partials would lose the compensated low words)."""
+    import fastsparse as fs
+    from fastsparse.ops.ell_ops import ell_spmm_dd
+
+    rows = np.repeat(np.arange(4), 100)
+    cols = np.tile(np.arange(100), 4)
+    m = sp.coo_matrix(
+        (np.ones(400, np.float32), (rows, cols)), shape=(8, 100)
+    ).tocsr()
+    A = build_ell(fs.binary_coo_from_scipy(m.tocoo()), split_rows=64)
+    assert A.split_rows == 64
+    X = np.random.default_rng(0).standard_normal((100, 2))
+    with pytest.raises(ValueError, match="unsplit"):
+        ell_spmm_dd(A, X)
+    # the fp64-class compile path builds unsplit and works
+    A0 = build_ell(fs.binary_coo_from_scipy(m.tocoo()), split_rows=0)
+    Y = ell_spmm_dd(A0, X)
+    ref = (m @ X).astype(np.float64)
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 1e-10

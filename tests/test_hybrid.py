@@ -80,3 +80,89 @@ def test_integration_macau_loop():
     ref = np.linalg.solve(A.T @ A + 2.0 * np.eye(300), A.T @ np.asarray(R))
     np.testing.assert_allclose(np.asarray(V), ref, rtol=5e-3, atol=5e-3)
     assert int(iters) < 200
+
+
+def test_dense_cols_extraction_parity():
+    """High-degree columns of a binary matrix move into the DenseCols
+    block (round 5); products and todense match the oracle; validate()
+    accepts the result."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    import fastsparse as fs
+    from fastsparse.bench import model as bmodel
+    from fastsparse.formats.hybrid import build_hybrid
+    from fastsparse.utils.debug import validate
+
+    rng = np.random.default_rng(60)
+    n = 512
+    # a few very dense columns + scattered tail
+    hot = rng.integers(0, 8, 4000)  # columns 0..7 get ~500 entries each
+    r1 = rng.integers(0, n, 4000)
+    r2 = rng.integers(0, n, 3000)
+    c2 = rng.integers(8, n, 3000)
+    m = sp.coo_matrix(
+        (np.ones(7000, np.float32),
+         (np.concatenate([r1, r2]), np.concatenate([hot, c2]))),
+        shape=(n, n),
+    )
+    m.sum_duplicates()
+    m.data[:] = 1.0
+    m = m.tocsr()
+    coo = fs.binary_coo_from_scipy(m.tocoo())
+    # force extraction at test scale (the production breakeven constant
+    # targets 65k-row matrices)
+    orig_min_d = bmodel.DENSE_COL_MIN_D
+    orig_cell = bmodel.DENSE_COL_CELL_S
+    orig_rows = bmodel.DENSE_COL_MIN_ROWS
+    bmodel.DENSE_COL_MIN_D = 4
+    bmodel.DENSE_COL_CELL_S = 2.0e-10  # d* = 512*2e-10/2e-9 ~ 51
+    bmodel.DENSE_COL_MIN_ROWS = 64
+    try:
+        H = build_hybrid(coo)
+    finally:
+        bmodel.DENSE_COL_MIN_D = orig_min_d
+        bmodel.DENSE_COL_CELL_S = orig_cell
+        bmodel.DENSE_COL_MIN_ROWS = orig_rows
+    assert H.dense_cols is not None
+    assert H.dense_cols.col_ids.shape[0] >= 4
+    assert H.nnz == m.nnz
+    validate(H)
+    np.testing.assert_allclose(
+        np.asarray(H.todense()), m.toarray(), rtol=1e-6, atol=1e-6
+    )
+    X = rng.standard_normal((n, 16)).astype(np.float32)
+    from fastsparse.ops.spmm import spmm
+    from fastsparse.ops.spmv import spmv
+
+    Y = np.asarray(spmm(H, X))
+    ref = (m @ X.astype(np.float64))
+    rel = np.abs(Y - ref).max() / (np.abs(ref).max() + 1e-30)
+    assert rel < 1e-6, rel
+    y = np.asarray(spmv(H, X[:, 0]))
+    refv = m @ X[:, 0].astype(np.float64)
+    assert np.abs(y - refv).max() / np.abs(refv).max() < 1e-6
+
+
+def test_dense_cols_bf16_fallback_and_default_precision():
+    import numpy as np
+
+    import jax.numpy as jnp
+    from fastsparse.formats.hybrid import DenseCols
+    from fastsparse.ops.spmm import dense_cols_spmm
+
+    rng = np.random.default_rng(61)
+    blk = (rng.random((64, 8)) < 0.3).astype(np.int8)
+    dc = DenseCols(
+        col_ids=jnp.arange(8, dtype=jnp.int32),
+        block=jnp.asarray(blk),
+        shape=(64, 100),
+        nnz=int(blk.sum()),
+    )
+    X = rng.standard_normal((100, 4)).astype(np.float32)
+    ref = blk.astype(np.float64) @ X[:8].astype(np.float64)
+    for prec in ("highest", "default"):
+        Y = np.asarray(dense_cols_spmm(dc, jnp.asarray(X), precision=prec))
+        rel = np.abs(Y - ref).max() / (np.abs(ref).max() + 1e-30)
+        bar = 1e-6 if prec == "highest" else 1e-2
+        assert rel < bar, (prec, rel)

@@ -33,10 +33,15 @@ GATHER_SLOT_S = 2.5e-9
 # Padding is folded into GATHER_SLOT_S (kept for API compatibility).
 GATHER_PAD = 1.0
 # Reporting-only engine FLOOR (a lower bound, distinct from the
-# format-selection cost constant above): best measured rate is
-# ~2.1 ns/raw-nonzero (ecfp 3.2M nnz in 6.8 ms), so 2.0 ns is a safe
-# bound — bench rows print measured/floor as `engine_frac ≤ 1`.
-GATHER_FLOOR_S = 2.0e-9
+# format-selection cost constant above). Round 5 re-set (VERDICT r4
+# #2): the packed full-unroll body measured 0.91 ns/padded-slot and
+# production sweep/full chunks run 1.0-1.15 ns incl. their X-panel DMA
+# (probe_gather6 + hyper traces, v5e 2026-08-21); at ~1.15x stored
+# padding that is ~1.1 ns per RAW nonzero. Rows print measured/floor as
+# `engine_frac` — values well under 1 now mean assembly/boundary
+# passes, not kernel slack (the traces in docs/ROUND5.md decompose
+# them).
+GATHER_FLOOR_S = 1.1e-9
 
 # Dense-column extraction (round 5): power-law/R-MAT structure puts a
 # large nnz fraction into few high-degree columns; storing those columns

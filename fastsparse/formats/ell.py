@@ -222,6 +222,15 @@ def build_ell(
         widths_allowed = [w for w in widths_allowed if w <= split]
         if not widths_allowed or widths_allowed[-1] != split:
             widths_allowed.append(split)
+    # packable (unit, 16-bit columns) builds keep only EVEN widths so
+    # every bucket rides the packed-pair kernel bodies and the merged
+    # sweep launches (width-1/3 rows pad one slot — the odd buckets'
+    # slot share is tiny, the per-launch cost they saved is not)
+    rows_pad_chk = -(-max(ncol + 1, 8) // 8) * 8
+    if is_binary and rows_pad_chk <= 65536:
+        widths_allowed = sorted(
+            {w + (w & 1) for w in widths_allowed}
+        )
     max_needed = int(vcount.max()) if nv else 1
     if max_needed > widths_allowed[-1]:
         widths_allowed.append(_ceil_pow2(max_needed))

@@ -44,15 +44,18 @@ class DenseCols:
     extracted original columns, ascending.
     """
 
-    col_ids: jax.Array  # int32[D]
-    block: jax.Array  # int8[nrow, D], 0/1
+    col_ids: jax.Array  # int32[D_pad] (zero-padded past n_cols)
+    block: jax.Array  # int8[nrow, D_pad], 0/1 (zero cols past n_cols)
     shape: tuple = static_field()  # parent (nrow, ncol)
     nnz: int = static_field()  # real entries in the block
+    n_cols: int = static_field(default=-1)  # real (unpadded) column count
 
     def todense(self) -> jax.Array:
         out = jnp.zeros(self.shape, jnp.float32)
-        return out.at[:, self.col_ids].set(
-            self.block.astype(jnp.float32)
+        # .add, not .set: padding col_ids repeat index 0 with all-zero
+        # block columns — adds are order-independent no-ops there
+        return out.at[:, self.col_ids].add(
+            self.block[: self.shape[0]].astype(jnp.float32)
         )
 
 
@@ -136,13 +139,22 @@ def _extract_dense_cols(rows, cols, shape, dense_col):
     pos = np.full(ncol, -1, np.int64)
     pos[sel_cols] = np.arange(sel_cols.size)
     in_dense = pos[cols] >= 0
-    block = np.zeros((nrow, sel_cols.size), np.int8)
+    # D padded to the 128-lane multiple: zero block columns (their X
+    # gather hits row col_ids[0] but the zero cells kill it) keep the
+    # MXU tiling clean and let the Pallas fold kernel take whole-D
+    # lane blocks.
+    D_pad = -(-sel_cols.size // 128) * 128
+    nrow_pad = -(-nrow // 256) * 256  # Pallas row-panel grid alignment
+    block = np.zeros((nrow_pad, D_pad), np.int8)
     block[rows[in_dense], pos[cols[in_dense]]] = 1
+    cid = np.zeros(D_pad, np.int64)
+    cid[: sel_cols.size] = sel_cols
     dc = DenseCols(
-        col_ids=jnp.asarray(sel_cols, jnp.int32),
+        col_ids=jnp.asarray(cid, jnp.int32),
         block=jnp.asarray(block),
         shape=tuple(shape),
         nnz=int(in_dense.sum()),
+        n_cols=int(sel_cols.size),
     )
     return ~in_dense, dc
 

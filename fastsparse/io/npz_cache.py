@@ -15,22 +15,50 @@ import numpy as np
 __all__ = ["save_npz", "load_npz", "save_npz_sharded", "load_npz_sharded"]
 
 
+def _enc(a):
+    """(storable array, dtype tag): npz can't hold bfloat16 (saves as a
+    void dtype that neither numpy nor jax will read back) — store the
+    raw bits as uint16 with the dtype name alongside."""
+    a = np.asarray(a)
+    if a.dtype.kind == "V" or a.dtype.name == "bfloat16":
+        return a.view(np.uint16), a.dtype.name
+    return a, ""
+
+
+def _dec(a, tag):
+    import jax.numpy as jnp
+
+    if tag:
+        import ml_dtypes
+
+        return jnp.asarray(a.view(np.dtype(getattr(ml_dtypes, tag))))
+    return jnp.asarray(a)
+
+
 def save_npz(path, tree) -> None:
     leaves, treedef = jax.tree.flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays = {}
+    tags = []
+    for i, leaf in enumerate(leaves):
+        arrays[f"leaf_{i}"], tag = _enc(leaf)
+        tags.append(tag)
     arrays["__treedef__"] = np.frombuffer(
         pickle.dumps(treedef), dtype=np.uint8
     )
+    arrays["__dtypes__"] = np.asarray(tags)
     np.savez_compressed(path, **arrays)
 
 
 def load_npz(path, device=None):
-    import jax.numpy as jnp
-
     with np.load(path, allow_pickle=False) as z:
         treedef = pickle.loads(z["__treedef__"].tobytes())
         n = len([k for k in z.files if k.startswith("leaf_")])
-        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
+        tags = (
+            [str(t) for t in z["__dtypes__"]]
+            if "__dtypes__" in z.files
+            else [""] * n
+        )
+        leaves = [_dec(z[f"leaf_{i}"], tags[i]) for i in range(n)]
     return jax.tree.unflatten(treedef, leaves)
 
 
@@ -56,10 +84,13 @@ def save_npz_sharded(prefix, tree, n_shards=None) -> None:
     ]
     for p in range(P):
         arrays = {"__treedef__": td, "__shard__": np.array([p, P])}
+        tags = []
         for i, leaf in enumerate(leaves):
-            a = np.asarray(leaf)
+            a, tag = _enc(leaf)
+            tags.append(tag)
             arrays[f"leaf_{i}"] = a[p] if split[i] else a
             arrays[f"split_{i}"] = np.array(split[i])
+        arrays["__dtypes__"] = np.asarray(tags)
         np.savez_compressed(f"{prefix}.shard{p}-of-{P}.npz", **arrays)
 
 
@@ -89,20 +120,28 @@ def load_npz_sharded(prefix, shards=None, sharding=None):
     per_shard = []
     treedef = None
     split = None
+    tags = None
     for p in shards:
         with np.load(f"{prefix}.shard{p}-of-{P}.npz", allow_pickle=False) as z:
             if treedef is None:
                 treedef = pickle.loads(z["__treedef__"].tobytes())
                 n = len([k for k in z.files if k.startswith("leaf_")])
                 split = [bool(z[f"split_{i}"]) for i in range(n)]
+                tags = (
+                    [str(t) for t in z["__dtypes__"]]
+                    if "__dtypes__" in z.files
+                    else [""] * n
+                )
             per_shard.append([np.asarray(z[f"leaf_{i}"]) for i in range(n)])
 
     leaves = []
     for i in range(len(split)):
         if split[i]:
-            leaves.append(jnp.stack([s[i] for s in per_shard]))
+            leaves.append(
+                jnp.stack([_dec(s[i], tags[i]) for s in per_shard])
+            )
         else:
-            leaves.append(jnp.asarray(per_shard[0][i]))
+            leaves.append(_dec(per_shard[0][i], tags[i]))
     tree = jax.tree.unflatten(treedef, leaves)
     if sharding is not None:
         tree = jax.device_put(tree, sharding)

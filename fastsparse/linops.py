@@ -152,6 +152,13 @@ class SparseOperator:
 
 _FORMATS = ("auto", "bsr", "ell", "ell-seg", "hybrid", "coo", "csr")
 
+
+def dataclasses_replace_rows(coo, rows):
+    """The COO with its row array replaced (values/validity untouched)."""
+    import dataclasses
+
+    return dataclasses.replace(coo, rows=rows)
+
 # Tiles emptier than this run faster on the gather engine than on the MXU
 # tile path (BSR per-tile cost ~50 ns vs ~1.5 ns per ELL slot).
 BSR_OCCUPANCY_THRESHOLD = 0.02
@@ -402,6 +409,117 @@ def operator(
     # this structure. Keying on the sentinel — NOT on `config is DEFAULT` —
     # means a field-for-field-equal Config() gets the same fast layouts
     # (a pinned tile_m=8 measured 6x slower on the banded mono headline).
+    # Permutation-boundary elision for gather-engine-family formats.
+    # The op boundary pays fully-random 512 B-row gathers (measured
+    # ~104 GB/s: X[col_perm] and Y[row_inv] cost 2.56 ms EACH per rmat
+    # s18 product — 1/3 of its device time, traced 2026-08-21), but:
+    # * ELL bucket membership, the dense-column block, and the hybrid
+    #   split are ROW-ID-AGNOSTIC — rows can go back to ORIGINAL order
+    #   before building, deleting the output gather outright;
+    # * only column SEGMENT MEMBERSHIP is load-bearing (X residency) —
+    #   sorting each segment's perm slice ascending keeps membership
+    #   while X[col_perm] reads quasi-sequentially; single-segment
+    #   matrices drop the column perm entirely.
+    # Gated on the TILE share: clustered structure (ecfp scaffolds)
+    # needs both perms for its dense BSR tiles, so formats whose tile
+    # part would carry >25% of nnz keep them. Tiled BSR and
+    # transpose=True operators always keep both (strips need row
+    # clustering; the dual tiling's segments live on this tiling's
+    # row order).
+    if (
+        format in ("ell", "ell-seg", "hybrid")
+        and not transpose
+        and (row_perm is not None or col_perm is not None)
+    ):
+        import dataclasses
+
+        import numpy as np
+
+        from .bench.model import _tile_counts, auto_threshold_from_counts
+
+        tile_share = 0.0
+        if format == "hybrid":
+            rcfg = config.resolve()
+            r_np = np.asarray(coo.rows)[: coo.n_valid]
+            c_np = np.asarray(coo.cols)[: coo.n_valid]
+            if isinstance(coo, BinaryCOO):
+                # the share must reflect the structure the tile engine
+                # will ACTUALLY see: high-degree columns leave for the
+                # dense-column block first (rmat's hot columns read as
+                # 30% "tile share" pre-extraction and kept the perms —
+                # and their 2x2.5 ms boundary gathers — alive)
+                from .bench.model import dense_col_select
+
+                coldeg = np.bincount(c_np, minlength=coo.shape[1])
+                sel = dense_col_select(coldeg, coo.shape[0])
+                if sel.size:
+                    keep = ~np.isin(c_np, sel)
+                    r_np, c_np = r_np[keep], c_np[keep]
+            cnt = _tile_counts(
+                r_np, c_np, coo.shape, rcfg.tile_m, rcfg.tile_k
+            )
+            if cnt.size:
+                th_, _ = auto_threshold_from_counts(cnt)
+                tile_share = float(
+                    cnt[cnt >= th_].sum() / max(cnt.sum(), 1)
+                )
+        if tile_share < 0.25:
+            if row_perm is not None:
+                rp = jnp.asarray(row_perm)
+                coo = dataclasses_replace_rows(coo, rp[coo.rows])
+                row_perm = row_inv = None
+            if col_perm is not None:
+                ncol_ = coo.shape[1]
+                w = _balanced_seg_cols(ncol_)
+                cp_old = np.asarray(col_perm)
+                c_cur = np.asarray(coo.cols)[: coo.n_valid]
+                r_cur = np.asarray(coo.rows)[: coo.n_valid].astype(np.int64)
+                orig = cp_old[c_cur]
+                nseg_ = max(-(-ncol_ // w), 1)
+                # Keep the column perm ONLY if its segment-locality win
+                # pays for the X[col_perm] boundary gather. MEASURED
+                # constants (rmat s18 A/B, 2026-08-21): dropping the
+                # perm grew incidences 299k -> 578k and the product
+                # 17.4 -> 28.7 ms — ~40 ns per extra (row, segment)
+                # incidence (part-row padding to the width ladder,
+                # per-row kernel issue, extra plan classes/launches),
+                # far above the naive 3x512B-pass estimate. The input
+                # gather costs ~10 ns per X row REGARDLESS of index
+                # order (a piecewise-sorted perm gathered no faster
+                # than a random one — XLA row gathers are per-row-
+                # overhead-bound).
+                pairs_perm = np.unique(
+                    r_cur * nseg_ + c_cur // w
+                ).size
+                pairs_orig = np.unique(
+                    r_cur * nseg_ + orig // w
+                ).size
+                saved_s = (pairs_orig - pairs_perm) * 30e-9
+                inperm_s = ncol_ * 10e-9
+                if ncol_ <= w or saved_s < inperm_s:
+                    # segments keep ORIGINAL contiguous column ranges:
+                    # no boundary gather, X windows become plain slices
+                    coo = dataclasses.replace(
+                        coo, cols=jnp.asarray(cp_old)[coo.cols]
+                    )
+                    col_perm = col_inv = None
+                else:
+                    # worth keeping — canonicalize each segment's slice
+                    # ascending (membership unchanged; the gather output
+                    # order is then quasi-sequential per segment)
+                    cp_new = cp_old.copy()
+                    for off in range(0, ncol_, w):
+                        cp_new[off : off + w].sort()
+                    from .reorder.cluster import invert_perm
+
+                    inv_new = np.asarray(invert_perm(cp_new))
+                    remap = inv_new[cp_old]
+                    coo = dataclasses.replace(
+                        coo, cols=jnp.asarray(remap)[coo.cols]
+                    )
+                    col_perm = jnp.asarray(cp_new)
+                    col_inv = jnp.asarray(inv_new)
+
     auto_tm = config.tile_m is None
     if format == "bsr" and auto_tm:
         # Taller tiles amortize fixed per-tile overheads when structure

@@ -200,20 +200,25 @@ def _slot_stream(A):
         sentinel = seg.shape[1]
         cur_b, rid_full, valid_full = None, None, None
         for b, mode, s0, s1, n_pad in eo._seg_layout(seg):
-            if b is not cur_b:
-                cur_b = b
-                rid_full = np.asarray(b.row_ids)
-                valid_full = _valid_mask(b, unit, sentinel)
-            n = s1 - s0
-            if s0 == 0 and s1 == len(rid_full) and n_pad == s1:
-                # part covers the whole bucket exactly
-                yield rid_full, valid_full
-                continue
-            rid = np.zeros(n_pad, rid_full.dtype)
-            rid[:n] = rid_full[s0:s1]
-            valid = np.zeros(n_pad, bool)
-            valid[:n] = valid_full[s0:s1]
-            yield rid, valid
+            # sweep items merge sub-parts into one compute part whose
+            # rows are the sub-parts CONCATENATED in order — the slot
+            # stream is identical to yielding each sub-part separately
+            subs = b if mode == "sweep" else ((b, s0, s1, n_pad),)
+            for bb, t0, t1, np_ in subs:
+                if bb is not cur_b:
+                    cur_b = bb
+                    rid_full = np.asarray(bb.row_ids)
+                    valid_full = _valid_mask(bb, unit, sentinel)
+                n = t1 - t0
+                if t0 == 0 and t1 == len(rid_full) and np_ == t1:
+                    # part covers the whole bucket exactly
+                    yield rid_full, valid_full
+                    continue
+                rid = np.zeros(np_, rid_full.dtype)
+                rid[:n] = rid_full[t0:t1]
+                valid = np.zeros(np_, bool)
+                valid[:n] = valid_full[t0:t1]
+                yield rid, valid
 
 
 def _valid_mask(b, unit, sentinel):
@@ -229,7 +234,9 @@ def _valid_mask(b, unit, sentinel):
 
 def layout_key():
     """Current chunking-budget state; plans are valid only under the
-    budgets they were built with (tests monkeypatch them)."""
+    budgets they were built with (tests monkeypatch them). The trailing
+    literal versions the layout algorithm itself (round 5: sweep
+    grouping of packed sub-parts)."""
     from . import ell_ops as eo
 
     return (
@@ -238,6 +245,7 @@ def layout_key():
         eo.SMEM_BLOCK_K_UNIT,
         eo.SMEM_BLOCK_K_VALUED,
         eo.USE_SMEM_PATH,
+        "sweep1",
     )
 
 

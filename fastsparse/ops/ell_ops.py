@@ -88,8 +88,13 @@ def _seg_layout(seg, budget=None):
     the compute path (`_seg_parts`), the assembly-plan builder
     (`ops.assemble._slot_stream`), and tests. Yields per appended part
     ``(bucket, mode, s0, s1, n_pad)``: ``mode`` is "smem" (whole bucket,
-    one program) or "chunk" (slots [s0, s1) padded to n_pad rows).
-    A ``budget`` override (the dd paths) always chunks."""
+    one program) or "chunk" (slots [s0, s1) padded to n_pad rows) — or,
+    since round 5, a SWEEP item ``(subparts, "sweep", 0, 0, 0)`` whose
+    first element lists ``(bucket, s0, s1, n_pad)`` sub-parts merged
+    into ONE multi-width kernel launch (`pallas.ell_spmm.ell_sweep_spmm`
+    — each per-width launch re-DMAs the resident X panel, 46
+    calls/product on powerlaw 65k²). A ``budget`` override (the dd
+    paths) always chunks, never sweeps."""
     unit = getattr(seg, "unit_vals", False)
     b_eff = (
         budget
@@ -103,16 +108,43 @@ def _seg_layout(seg, budget=None):
     # counts halve to match (`pallas.ell_spmm.packed_pair_ok`; the kernel
     # applies the same test)
     rows_pad = _round_up(max(seg.shape[1] + 1, 8), 8)
+    pend, pend_entries = [], 0  # sweep accumulator (packed sub-parts)
+    cap_entries = 2 * b_eff
+
+    def flush():
+        nonlocal pend, pend_entries
+        if len(pend) == 1:
+            b_, s0_, s1_, n_ = pend[0]
+            yield b_, "chunk", s0_, s1_, n_
+        elif pend:
+            yield tuple(pend), "sweep", 0, 0, 0
+        pend, pend_entries = [], 0
+
     for b in seg.buckets:
         nb, K = b.cols.shape
+        packable = (
+            budget is None
+            and unit
+            and packed_pair_ok(K, rows_pad)
+            and getattr(b, "packed", None) is not None
+        )
         b_bucket = b_eff
         if budget is None and unit and packed_pair_ok(K, rows_pad):
             b_bucket = 2 * b_eff
         if budget is None and USE_SMEM_PATH and nb * K > b_bucket and K <= k_cap:
+            yield from flush()
             yield b, "smem", 0, nb, nb
             continue
         for s0, s1, n_pad in _chunk_ranges(nb, K, b_bucket):
-            yield b, "chunk", s0, s1, n_pad
+            if not packable:
+                yield from flush()
+                yield b, "chunk", s0, s1, n_pad
+                continue
+            if pend_entries + n_pad * K > cap_entries:
+                yield from flush()
+            pend.append((b, s0, s1, n_pad))
+            pend_entries += n_pad * K
+    yield from flush()
 
 
 def _slice_chunk(b, ell, s0, s1, n_pad):
@@ -166,6 +198,27 @@ def _seg_parts(ell: EllMatrix, Xseg, n_block: int, rids, parts):
     segments are duplicate scatter indices — scatter-add sums them."""
     unit = getattr(ell, "unit_vals", False)
     for b, mode, s0, s1, n_pad in _seg_layout(ell):
+        if mode == "sweep":
+            # ONE multi-width launch for the whole group of packed
+            # sub-parts: one X-panel DMA, one output block per 8 rows,
+            # rows laid out in exactly sub-part order (the plan builder
+            # consumes the same `_seg_layout` stream)
+            from .pallas.ell_spmm import ell_sweep_spmm
+
+            flats, rid_l, meta = [], [], []
+            for bb, t0, t1, np_ in b:
+                rid, _cc, _vv, pp = _slice_chunk(bb, ell, t0, t1, np_)
+                flats.append(pp.reshape(-1))
+                rid_l.append(rid)
+                meta.append((np_, bb.cols.shape[1] // 2))
+            parts.append(
+                ell_sweep_spmm(
+                    jnp.concatenate(flats), Xseg,
+                    n_block=n_block, parts=tuple(meta),
+                )
+            )
+            rids.append(jnp.concatenate(rid_l))
+            continue
         if mode == "smem":
             # one program for the whole bucket: indices travel as blocked
             # SMEM operands, dodging the scalar-prefetch chunk limit.

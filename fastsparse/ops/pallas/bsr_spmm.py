@@ -550,6 +550,60 @@ def panel_spmm(
 # ---------------------------------------------------------------------------
 
 
+def _densecols_body(N, b_ref, q_ref, s_ref, o_ref):
+    """Dense-column block product with IN-KERNEL radix fold: one
+    (BR, D) int8 block row-panel x 3 resident int8 X planes -> (BR, N)
+    f32. The XLA dot formulation materialized the (nrow, 3N) int32
+    intermediate (402 MB on rmat s18, ~0.6 ms of pure fold traffic)."""
+    a = b_ref[:]
+    acc = None
+    for p, w in ((0, 65536.0), (1, 256.0), (2, 1.0)):
+        xs = q_ref[:, p * N : (p + 1) * N]
+        d = jax.lax.dot_general(
+            a, xs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * w
+        acc = d if acc is None else acc + d
+    o_ref[:] = acc * s_ref[0:1, :]
+
+
+@jax.jit
+def densecols_spmm_pallas(block, q3, s8) -> jax.Array:
+    """``Y = block @ X_sel`` for a lane-padded DenseCols block.
+
+    block: int8[nrow, D] (D a 128 multiple); q3: int8[D, 3N] radix-256
+    planes of the selected X rows (N a 128 multiple); s8: f32[8, N]
+    per-column recombination scale. Returns f32[nrow, N]. The block
+    streams exactly once."""
+    nrow, D = block.shape
+    N = q3.shape[1] // 3
+    BR = next(b for b in (512, 256, 128, 64, 32) if nrow % b == 0)
+    return pl.pallas_call(
+        functools.partial(_densecols_body, N),
+        grid=(nrow // BR,),
+        in_specs=[
+            pl.BlockSpec((BR, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BR, N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nrow, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nrow * D * 3 * N,
+            bytes_accessed=block.size + q3.size + nrow * N * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(block, q3, s8)
+
+
 def _colmax_body(x_ref, o_ref):
     m = jnp.max(jnp.abs(x_ref[:]), axis=0, keepdims=True)
     i = pl.program_id(0)

@@ -320,6 +320,90 @@ def _body_dd_valued(
         olo_ref[pl.ds(g, 1), :] = lo
 
 
+def _sweep_body(parts_meta, G, cols_ref, x_ref, o_ref):
+    """Multi-width packed gather: ONE program sweeps several width
+    buckets. ``parts_meta``: static tuple of (g0, g1, K2, wbase) — grid
+    steps [g0, g1) process the part whose rows hold K2 packed column
+    pairs starting at flat word ``wbase``. Each step writes its (G, NB)
+    output block exactly once (blocks are part-concatenated, in layout
+    order), so the per-width-class pallas launches — each re-DMAing the
+    whole resident X panel (~11 MB, 46 calls/product on powerlaw 65k²)
+    — collapse to one launch per SMEM chunk."""
+    i = pl.program_id(1)
+    for g0, g1, K2, wbase in parts_meta:
+
+        @pl.when((i >= g0) & (i < g1))
+        def _(g0=g0, K2=K2, wbase=wbase):
+            for g in range(G):
+                accs = [None] * _N_ACC
+                for u in range(K2):
+                    k = wbase + ((i - g0) * G + g) * K2 + u
+                    p = cols_ref[k]
+                    c0 = jax.lax.bitwise_and(p, jnp.int32(0xFFFF))
+                    c1 = jax.lax.shift_right_logical(p, jnp.int32(16))
+                    xr0 = x_ref[pl.ds(c0, 1), :]
+                    xr1 = x_ref[pl.ds(c1, 1), :]
+                    a0 = (2 * u) % _N_ACC
+                    a1 = (2 * u + 1) % _N_ACC
+                    accs[a0] = (
+                        xr0 if accs[a0] is None else accs[a0] + xr0
+                    )
+                    accs[a1] = (
+                        xr1 if accs[a1] is None else accs[a1] + xr1
+                    )
+                acc = accs[0]
+                for a in accs[1:]:
+                    if a is not None:
+                        acc = acc + a
+                o_ref[pl.ds(g, 1), :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_block", "parts"))
+def ell_sweep_spmm(flat_words, x, *, n_block: int, parts) -> jax.Array:
+    """Unit-mode multi-bucket sweep: ``parts`` is a static tuple of
+    (n_rows, K2) per sub-part; ``flat_words`` concatenates each
+    sub-part's packed pairs row-major. Returns f32[sum(n_rows), Npad]
+    — rows in sub-part order (exactly the layout `_seg_parts` appends).
+    Every sub-part's n_rows must be a multiple of ELL_GROUP."""
+    NB = n_block
+    Npad = x.shape[1]
+    nj = Npad // NB
+    G = ELL_GROUP
+    meta = []
+    g_acc = 0
+    w_acc = 0
+    for n_rows, K2 in parts:
+        assert n_rows % G == 0
+        ng = n_rows // G
+        meta.append((g_acc, g_acc + ng, K2, w_acc))
+        g_acc += ng
+        w_acc += n_rows * K2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nj, g_acc),
+        in_specs=[
+            pl.BlockSpec(
+                (x.shape[0], NB), lambda j, i, *_s: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (G, NB), lambda j, i, *_s: (i, j), memory_space=pltpu.VMEM
+        ),
+    )
+    call = pl.pallas_call(
+        functools.partial(_sweep_body, tuple(meta), G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g_acc * G, Npad), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )
+    with named("ell_gather_sweep"):
+        return call(flat_words, x)
+
+
 # Largest bucket row length the SMEM-blocked kernel accepts: the per-step
 # block is (1, G·K) per index array, double-buffered by the pipeline —
 # keep 2·arrays·G·K·4 B within ~half of the 1 MB SMEM so control scalars

@@ -71,17 +71,18 @@ def dense_cols_spmm(dc, X, precision: str = "highest"):
     """
     Xs = X[dc.col_ids]  # (D, N) — D is small; gather cost negligible
     B = dc.block
+    nrow = dc.shape[0]
     parity = precision == "highest" and X.dtype == jnp.float32
     if not parity:
         return jnp.dot(
             B.astype(jnp.bfloat16),
             Xs.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
-        ).astype(X.dtype)
-    # ONE dot over the lane-concatenated planes: the block is the big
-    # operand (rmat s18: 259 MB int8) and a per-plane dot would stream
-    # it three times — concatenating [q0|q1|q2] along N reads it once
-    # (the fold afterwards touches only the (nrow, 3N) result).
+        ).astype(X.dtype)[:nrow]
+    # ONE pass over the block (rmat s18: 259 MB int8 — the dominant
+    # operand): a per-plane dot would stream it three times, and the
+    # XLA single-dot form materializes a (nrow, 3N) fold intermediate;
+    # the Pallas kernel folds in-register.
     N = Xs.shape[1]
     if DENSECOLS_DOT == "i8":
         from .bsr_ops import _quant3_carry
@@ -90,20 +91,25 @@ def dense_cols_spmm(dc, X, precision: str = "highest"):
         q3 = jnp.concatenate(
             [q.astype(jnp.int8) for q in (q0, q1, q2)], axis=1
         )
+        if N % 128 == 0:
+            from .pallas.bsr_spmm import densecols_spmm_pallas
+
+            s8 = jnp.broadcast_to(s, (8, N))
+            return densecols_spmm_pallas(B, q3, s8)[:nrow]
         d = jax.lax.dot_general(
             B, q3, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         return (
             d[:, :N] * 65536.0 + d[:, N : 2 * N] * 256.0 + d[:, 2 * N :]
-        ) * s
+        )[:nrow] * s
     from .bsr_ops import _split_bf16_planes
 
     x0, x1, x2 = _split_bf16_planes(Xs)
     x3 = jnp.concatenate([x0, x1, x2], axis=1)
     Bb = B.astype(jnp.bfloat16)
     d = jnp.dot(Bb, x3, preferred_element_type=jnp.float32)
-    return d[:, :N] + d[:, N : 2 * N] + d[:, 2 * N :]
+    return (d[:, :N] + d[:, N : 2 * N] + d[:, 2 * N :])[:nrow]
 
 
 def spmm(A, X):

@@ -42,6 +42,11 @@ def validate(A) -> None:
         if rows.size:
             _check(rows.min() >= 0 and rows.max() < nrow, "row id out of range")
             _check(cols.min() >= 0 and cols.max() < ncol, "col id out of range")
+            if getattr(A, "row_sorted", False):
+                _check(
+                    (np.diff(rows) >= 0).all(),
+                    "row_sorted flag set but rows not ascending",
+                )
         return
     if isinstance(A, (CSR, BinaryCSR)):
         nrow, ncol = A.shape
@@ -208,17 +213,28 @@ def validate(A) -> None:
         dc = getattr(A, "dense_cols", None)
         if dc is not None:
             cid = np.asarray(dc.col_ids)
+            nc = dc.n_cols if dc.n_cols >= 0 else cid.size
             _check(
                 cid.min() >= 0 and cid.max() < A.shape[1],
                 "dense-col id out of range",
             )
             _check(
-                (np.diff(cid) > 0).all(), "dense-col ids not ascending"
+                (np.diff(cid[:nc]) > 0).all(),
+                "dense-col ids not ascending",
             )
             blk = np.asarray(dc.block)
             _check(
-                blk.shape == (A.shape[0], cid.size),
+                blk.shape[1] == cid.size
+                and blk.shape[0] >= A.shape[0]
+                and blk.shape[0] % 256 == 0,
                 "dense-col block shape",
+            )
+            _check(
+                not blk[A.shape[0]:].any(), "dense-col row padding not zero"
+            )
+            _check(cid.size % 128 == 0, "dense-col D not lane padded")
+            _check(
+                not blk[:, nc:].any(), "dense-col padding not zero"
             )
             _check(
                 np.isin(blk, (0, 1)).all(), "dense-col block not 0/1"

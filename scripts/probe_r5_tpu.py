@@ -51,6 +51,9 @@ if "powerlaw" in which:
     if hasattr(fwd, "dense_cols") and fwd.dense_cols is not None:
         print(f"  dense_cols D={fwd.dense_cols.col_ids.shape[0]} "
               f"nnz={fwd.dense_cols.nnz} ({fwd.dense_cols.nnz/mp.nnz:.3f})")
+    if hasattr(fwd, "dense_nnz"):
+        print(f"  dense_tiles nnz={fwd.dense_nnz} ({fwd.dense_nnz/mp.nnz:.3f})")
+    print(f"  perms: row={opp.row_perm is not None} col={opp.col_perm is not None}")
     Xp = jnp.asarray(rng.standard_normal((mp.shape[1], 128)), jnp.float32)
     stepp = jax.jit(lambda op, X: op.matmat(X))
     Yp = np.asarray(stepp(opp, Xp))
@@ -76,6 +79,9 @@ if "rmat" in which:
     if hasattr(fwd, "dense_cols") and fwd.dense_cols is not None:
         print(f"  dense_cols D={fwd.dense_cols.col_ids.shape[0]} "
               f"nnz={fwd.dense_cols.nnz} ({fwd.dense_cols.nnz/mr.nnz:.3f})")
+    if hasattr(fwd, "dense_nnz"):
+        print(f"  dense_tiles nnz={fwd.dense_nnz} ({fwd.dense_nnz/mr.nnz:.3f})")
+    print(f"  perms: row={opr.row_perm is not None} col={opr.col_perm is not None}")
     Xr = jnp.asarray(rng.standard_normal((mr.shape[1], 128)), jnp.float32)
     stepr = jax.jit(lambda op, X: op.matmat(X))
     Yr = np.asarray(stepr(opr, Xr))

@@ -28,17 +28,20 @@ def _slot_contribs(A, X):
         Xs = np.zeros((sentinel + 1, X.shape[1]), X.dtype)
         Xs[:sentinel] = X[off : off + sentinel]
         for b, mode, s0, s1, n_pad in eo._seg_layout(seg):
-            cc = np.asarray(b.cols)[s0:s1]
-            if unit:
-                p = Xs[cc].sum(axis=1)
-            else:
-                vv = np.asarray(b.vals)[s0:s1]
-                p = (vv[..., None] * Xs[cc]).sum(axis=1)
-            if s1 - s0 < n_pad:
-                p = np.concatenate(
-                    [p, np.zeros((n_pad - (s1 - s0), X.shape[1]), p.dtype)]
-                )
-            parts.append(p)
+            # sweep items = sub-parts concatenated (round 5)
+            subs = b if mode == "sweep" else ((b, s0, s1, n_pad),)
+            for bb, t0, t1, np_ in subs:
+                cc = np.asarray(bb.cols)[t0:t1]
+                if unit:
+                    p = Xs[cc].sum(axis=1)
+                else:
+                    vv = np.asarray(bb.vals)[t0:t1]
+                    p = (vv[..., None] * Xs[cc]).sum(axis=1)
+                if t1 - t0 < np_:
+                    p = np.concatenate(
+                        [p, np.zeros((np_ - (t1 - t0), X.shape[1]), p.dtype)]
+                    )
+                parts.append(p)
     return np.concatenate(parts, axis=0) if parts else np.zeros((0, X.shape[1]))
 
 

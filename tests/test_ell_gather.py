@@ -336,3 +336,24 @@ def test_dd_rejects_split_layout():
     Y = ell_spmm_dd(A0, X)
     ref = (m @ X).astype(np.float64)
     assert np.abs(Y - ref).max() / np.abs(ref).max() < 1e-10
+
+
+def test_sweep_merges_width_classes():
+    """Round 5: packed width-class chunks of a unit segment merge into
+    ONE sweep launch; parity holds and the assembly plan agrees with the
+    merged layout."""
+    import fastsparse as fs
+    from fastsparse.ops import ell_ops as eo
+
+    rng = np.random.default_rng(70)
+    m = sp.random(3000, 2000, density=0.008, random_state=1, format="csr")
+    m.data[:] = 1.0
+    op = fs.operator(m, format="ell", transpose=False)
+    segs = getattr(op.fwd, "segments", [op.fwd])
+    modes = [mode for seg in segs for _, mode, *_ in eo._seg_layout(seg)]
+    assert "sweep" in modes, modes
+    X = rng.standard_normal((2000, 16)).astype(np.float32)
+    Y = np.asarray(op.matmat(X))
+    ref = m @ X
+    rel = np.abs(Y - ref).max() / (np.abs(ref).max() + 1e-30)
+    assert rel < 1e-5, rel

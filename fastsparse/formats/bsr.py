@@ -647,6 +647,9 @@ MONO_GROUP_MAX = 8  # strips per grid step (halved while VMEM-over-budget)
 MONO_SPILL_MAX = 0.15  # side-bucket nnz fraction above which grouped loses
 HALO_STRIDE = 160  # halo-window stride cap (slabs); win = stride + gspan-1
 HALO_WIN_MAX = 512  # window-slab cap (X block VMEM at narrow lanes)
+# double-buffered (G, TM, PK) panel-block byte allowance per grid step
+# (conservative vs the 16 MB scoped wall; probe_halo3 sweeps it)
+HALO_PANEL_VMEM = 4 * 2**20
 
 
 def _build_mono_halo(
@@ -691,7 +694,7 @@ def _build_mono_halo(
         stride = min(HALO_STRIDE, n_slabs)
         win_slabs = min(stride + gspan - 1, n_slabs)
         stride = min(stride, win_slabs)
-        panel_ok = 2 * G * TM * row_bytes <= 4 * 2**20
+        panel_ok = 2 * G * TM * row_bytes <= HALO_PANEL_VMEM
         win_ok = win_slabs <= HALO_WIN_MAX
         if panel_ok and win_ok:
             break

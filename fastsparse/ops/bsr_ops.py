@@ -64,6 +64,13 @@ MONO_PREFOLD_VMEM = int(16.5 * 2**20)
 #   "bf16" — the round-3 behavior (3 bf16 planes, prefold or in-kernel).
 MONO_X_PLANES = "int8"
 
+# Wide-N int8 kernel shape: "i8" = 3 separate s8 dots per item (one per
+# radix plane), "i8w" = ONE wide s8 dot over all 3 plane blocks + an
+# in-kernel fold — a single MXU issue per item, measured faster in all
+# three interleaved A/B pairs (0.173-0.177 vs 0.178-0.205 ms headline
+# busy, probe_i8w_tpu 2026-08-21) at identical rel. Default.
+MONO_I8_FOLD = "i8w"
+
 
 from ..utils.shapes import round_up as _round_up
 
@@ -654,7 +661,7 @@ def _prep_mono_x(A, X, N, precision):
     else:
         Xp = jnp.zeros((K_pad, Npad), X.dtype).at[: X.shape[0], :N].set(X)
     if i8x:
-        return _quant3_planes(Xp, NB, Npad), NB, Npad, "i8", 0
+        return _quant3_planes(Xp, NB, Npad), NB, Npad, MONO_I8_FOLD, 0
     if parity:
         # pre-stacked 3-plane X (one wide dot, no per-item VPU split)
         # beats the in-kernel split at wide N on mono: 0.314 vs 0.378 ms
@@ -691,7 +698,7 @@ def _mono_raw(A, X, precision):
     scale = None
     if isinstance(Xp, tuple):
         Xp, scale = Xp
-    kscale = scale if fold == "i8" else None
+    kscale = scale if fold in ("i8", "i8w") else None
     if isinstance(b, MonoGroupBucket):
         Y = mono_group_spmm(
             b.windows,

@@ -714,7 +714,7 @@ def _mono_body(
     del strip_ref  # consumed by the out BlockSpec index map
     i = pl.program_id(1)
     a = panels_ref[0]  # (TM, PKstore)
-    i8x = fold == "i8" or (
+    i8x = fold in ("i8", "i8w") or (
         a.dtype == jnp.int8 and x_ref.dtype == jnp.int8
     )
     if binary:
@@ -728,7 +728,19 @@ def _mono_body(
         # through the bf16 cast, so the parity paths still apply
         a = a.astype(jnp.bfloat16)
     st = start_ref[i]
-    if fold == "i8":
+    if fold == "i8w":
+        # ONE wide s8 dot over all 3 plane blocks (3NB lanes) + an
+        # in-kernel radix fold — same arithmetic as fold="i8"'s 3 dots
+        # but a single MXU issue per item (the narrow path already
+        # works this way)
+        xs = x_ref[pl.ds(st * TK, PK), :]
+        d3 = _i8_dot(a, xs)
+        d = (
+            d3[:, :NB] * 65536.0
+            + d3[:, NB : 2 * NB] * 256.0
+            + d3[:, 2 * NB :]
+        ) * s_ref[0:1, :]
+    elif fold == "i8":
         # radix-256 int8 planes [q0_j|q1_j|q2_j]: 3 s8 MXU passes, f32
         # recombination (d0 < 2^24 ⇒ the 2^16/2^8 weights are exact),
         # per-column scale from the prep (bsr_ops._quant3_planes)
@@ -854,13 +866,13 @@ def mono_panel_spmm(
     ni = strip_ids.shape[0]
     PK = width * tile_k
     NB = n_block
-    three = fold is True or fold == "i8"
+    three = fold in (True, "i8", "i8w")
     xnb = 3 * NB if three else NB
     Npad = x.shape[1] // 3 if three else x.shape[1]
     nj = Npad // NB
     win_rows = win_slabs * tile_k
     assert x.shape[0] % win_rows == 0
-    has_scale = fold == "i8"
+    has_scale = fold in ("i8", "i8w")
     if has_scale:
         assert scale is not None
 
@@ -949,7 +961,7 @@ def _mono_g_body(
     i = pl.program_id(1)
     for g in range(G):
         a = panels_ref[g]
-        i8x = fold == "i8" or (
+        i8x = fold in ("i8", "i8w") or (
             a.dtype == jnp.int8 and x_ref.dtype == jnp.int8
         )
         if binary:
@@ -959,6 +971,15 @@ def _mono_g_body(
         elif a.dtype == jnp.int8 and not i8x:
             a = a.astype(jnp.bfloat16)
         st = start_ref[i * G + g]
+        if fold == "i8w":
+            xs = x_ref[pl.ds(st * TK, PK), :]
+            d3 = _i8_dot(a, xs)
+            o_ref[pl.ds(g * TM, TM), :] = (
+                d3[:, :NB] * 65536.0
+                + d3[:, NB : 2 * NB] * 256.0
+                + d3[:, 2 * NB :]
+            ) * s_ref[0:1, :]
+            continue
         if fold == "i8":
             acc = None
             for p, w in ((0, 65536.0), (1, 256.0), (2, 1.0)):
@@ -1031,13 +1052,13 @@ def mono_group_spmm(
     assert ns % G == 0
     PK = width * tile_k
     NB = n_block
-    three = fold is True or fold == "i8"
+    three = fold in (True, "i8", "i8w")
     xnb = 3 * NB if three else NB
     Npad = x.shape[1] // 3 if three else x.shape[1]
     nj = Npad // NB
     win_rows = win_slabs * tile_k
     assert x.shape[0] % win_rows == 0
-    has_scale = fold == "i8"
+    has_scale = fold in ("i8", "i8w")
     if has_scale:
         assert scale is not None
 

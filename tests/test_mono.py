@@ -348,8 +348,8 @@ def test_mono_wide_n256():
     # when MONO_X_PLANES is flipped back
     Xp, NB, Npad, fold, nq = _prep_mono_x(op.fwd, jnp.asarray(X), 256, "highest")
     assert (NB, Npad, nq) == (128, 256, 0)
-    assert fold in ("i8", True, "f32")  # parity path engaged either way
-    if fold == "i8":
+    assert fold in ("i8", "i8w", True, "f32")  # parity path either way
+    if fold in ("i8", "i8w"):
         planes, scale = Xp
         assert planes.dtype == jnp.int8 and planes.shape[1] == 2 * 3 * 128
         assert scale.shape == (1, 256)

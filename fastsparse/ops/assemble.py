@@ -245,6 +245,7 @@ def layout_key():
         eo.SMEM_BLOCK_K_UNIT,
         eo.SMEM_BLOCK_K_VALUED,
         eo.USE_SMEM_PATH,
+        eo.USE_SWEEP,
         "sweep1",
     )
 

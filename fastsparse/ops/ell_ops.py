@@ -40,6 +40,10 @@ _SMEM_IDX_BUDGET = _SMEM_IDX_BUDGET_UNIT  # compat alias (unit default)
 # One-program-per-bucket SMEM-blocked kernel: measured slower than chunked
 # scalar prefetch (see `_seg_parts`); flip for A/B experiments only.
 USE_SMEM_PATH = False
+# Merge packed width-class chunks into multi-part sweep launches
+# (`ell_sweep_spmm`). Saves one resident-X DMA per width class but the
+# per-grid-step `pl.when` part ladder has its own cost — A/B per flag.
+USE_SWEEP = True
 # X panel residency budget. 12 MB (same as the BSR resident budget) lets a
 # ~24k-column matrix run unsegmented at n_block=128 — column segmentation
 # splits rows across segments and roughly doubles bucket padding, so one
@@ -109,7 +113,7 @@ def _seg_layout(seg, budget=None):
     # applies the same test)
     rows_pad = _round_up(max(seg.shape[1] + 1, 8), 8)
     pend, pend_entries = [], 0  # sweep accumulator (packed sub-parts)
-    cap_entries = 2 * b_eff
+    cap_entries = 2 * b_eff if USE_SWEEP else 0
 
     def flush():
         nonlocal pend, pend_entries

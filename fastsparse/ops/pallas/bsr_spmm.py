@@ -653,9 +653,12 @@ def _quant3_body(NB, x_ref, sinv_ref, o_ref):
     i1 = (i - q2) >> 8
     q1 = ((i1 + 128) & 255) - 128
     q0 = (i1 - q1) >> 8
-    o_ref[:, :NB] = q0.astype(jnp.int8)
-    o_ref[:, NB : 2 * NB] = q1.astype(jnp.int8)
-    o_ref[:, 2 * NB :] = q2.astype(jnp.int8)
+    # one concatenated store beat three lane-slice stores in 3 of 4
+    # interleaved A/B pairs (probe_quant3_tpu, 2026-08-21)
+    o_ref[:] = jnp.concatenate(
+        [q0.astype(jnp.int8), q1.astype(jnp.int8), q2.astype(jnp.int8)],
+        axis=1,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_block",))
